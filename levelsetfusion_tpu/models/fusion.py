@@ -1,0 +1,153 @@
+"""Frame-to-canonical fusion (SURVEY.md §2.14, §3.3; BASELINE config 4).
+
+The "fusion" in LevelSetFusion: after the non-rigid solve aligns live frame t
+to the canonical frame, the warped live TSDF is blended into the canonical
+field with truncation-aware running weighted averaging:
+
+    w_t(v)   = 1  where |Φ_w(v)| < 1 (inside the observed narrow band)
+    Φ_c(v)  ←  (W(v) Φ_c(v) + w_t(v) Φ_w(v)) / (W(v) + w_t(v))
+    W(v)    ←  W(v) + w_t(v)
+
+The per-frame loop is a host loop (frame count is dynamic, IO per frame);
+each step — TSDF generation, warp solve, resample, blend — is a jitted
+on-device program, with the warp warm-started from the previous frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from levelsetfusion_tpu.core.camera import PinholeCamera
+from levelsetfusion_tpu.core.grid import GridSpec
+from levelsetfusion_tpu.models.hierarchical import solve_hierarchical
+from levelsetfusion_tpu.models.params import HierarchicalParams, SolverParams
+from levelsetfusion_tpu.models.single_level import solve_single_level
+from levelsetfusion_tpu.ops.interpolation import warp_field
+from levelsetfusion_tpu.ops.tsdf import GenerationMethod, generate_tsdf_3d
+
+TRUNCATION_EPS = 1e-5
+
+
+class FusionState(NamedTuple):
+    canonical: jnp.ndarray  # (*spatial,) running fused TSDF
+    weights: jnp.ndarray  # (*spatial,) accumulated observation weights
+
+
+class FrameReport(NamedTuple):
+    frame_index: int
+    solver_iterations: int
+    final_data_energy: float
+    band_voxels: int  # |Φ_c| < 1 count after fusion
+
+
+class FusionResult(NamedTuple):
+    state: FusionState
+    reports: List[FrameReport]
+    final_warp: jnp.ndarray
+
+
+@jax.jit
+def blend(state: FusionState, warped_live: jnp.ndarray) -> FusionState:
+    """One truncation-aware weighted-average fusion update."""
+    w_live = (jnp.abs(warped_live) < 1.0 - TRUNCATION_EPS).astype(
+        warped_live.dtype
+    )
+    w_total = state.weights + w_live
+    fused = jnp.where(
+        w_total > 0.0,
+        (state.weights * state.canonical + w_live * warped_live)
+        / jnp.maximum(w_total, 1e-12),
+        state.canonical,
+    )
+    return FusionState(canonical=fused, weights=w_total)
+
+
+def init_state(first_field: jnp.ndarray) -> FusionState:
+    w = (jnp.abs(first_field) < 1.0 - TRUNCATION_EPS).astype(first_field.dtype)
+    return FusionState(canonical=first_field, weights=w)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionPipelineConfig:
+    """Config for the multi-frame frame-to-canonical driver."""
+
+    grid: GridSpec
+    narrow_band_width_voxels: int = 20
+    generation_method: GenerationMethod = GenerationMethod.BASIC
+    hierarchical: bool = True
+    solver: SolverParams = SolverParams(learning_rate=1.0, convergence_threshold=1e-3)
+    levels: int = 3
+    warm_start: bool = True
+
+
+def fuse_sequence(
+    frames: Sequence[np.ndarray],
+    camera: PinholeCamera,
+    config: FusionPipelineConfig,
+    frame_callback: Callable[[int, FusionState, jnp.ndarray], None] | None = None,
+) -> FusionResult:
+    """Fuse a depth sequence into a canonical TSDF (SURVEY.md §3.3 loop).
+
+    ``frame_callback(t, state, warp)`` is invoked after each frame for
+    telemetry/visualization/checkpointing hooks.
+    """
+    grid = config.grid
+
+    def gen(depth):
+        return generate_tsdf_3d(
+            jnp.asarray(depth),
+            camera,
+            grid,
+            narrow_band_width_voxels=config.narrow_band_width_voxels,
+            method=config.generation_method,
+        )
+
+    state = init_state(gen(frames[0]))
+    d = grid.dim
+    warp = jnp.zeros(grid.shape + (d,), state.canonical.dtype)
+    reports: List[FrameReport] = []
+
+    for t in range(1, len(frames)):
+        live = gen(frames[t])
+        init_warp = warp if config.warm_start else jnp.zeros_like(warp)
+        if config.hierarchical:
+            hres = solve_hierarchical(
+                state.canonical,
+                live,
+                HierarchicalParams(levels=config.levels, base=config.solver),
+                initial_warp=init_warp,
+            )
+            warp = hres.warp
+            finest = hres.level_results[-1]
+            iters = int(finest.iterations)
+            e = float(
+                finest.telemetry.data_energy[max(iters - 1, 0)]
+            )
+        else:
+            res = solve_single_level(
+                state.canonical, live, config.solver, initial_warp=init_warp
+            )
+            warp = res.warp
+            iters = int(res.iterations)
+            e = float(res.telemetry.data_energy[max(iters - 1, 0)])
+
+        warped = warp_field(live, warp)
+        state = blend(state, warped)
+        band = int(jnp.sum(jnp.abs(state.canonical) < 1.0 - TRUNCATION_EPS))
+        reports.append(
+            FrameReport(
+                frame_index=t,
+                solver_iterations=iters,
+                final_data_energy=e,
+                band_voxels=band,
+            )
+        )
+        if frame_callback is not None:
+            frame_callback(t, state, warp)
+
+    return FusionResult(state=state, reports=reports, final_warp=warp)

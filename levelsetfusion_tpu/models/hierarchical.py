@@ -1,0 +1,70 @@
+"""Hierarchical coarse-to-fine warp solver (SURVEY.md §2.10, §3.2).
+
+Builds power-of-two pyramids of the canonical and live TSDF fields, solves
+the warp at the coarsest level, then prolongates (×2 upsample, displacement
+doubled) as the warm start for each finer level. The per-level solve is the
+jitted ``solve_single_level`` while-loop; the level loop itself is a static
+Python loop (level count and shapes are static), so the whole thing still
+traces into per-level compiled programs with no host-device sync beyond
+telemetry retrieval.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax.numpy as jnp
+
+from levelsetfusion_tpu.models.params import HierarchicalParams
+from levelsetfusion_tpu.models.single_level import SolveResult, solve_single_level
+from levelsetfusion_tpu.ops import pyramid
+
+
+class HierarchicalResult(NamedTuple):
+    warp: jnp.ndarray  # finest-level warp
+    level_results: List[SolveResult]  # [coarsest, ..., finest]
+
+
+def solve_hierarchical(
+    canonical: jnp.ndarray,
+    live: jnp.ndarray,
+    params: HierarchicalParams = HierarchicalParams(),
+    initial_warp: jnp.ndarray | None = None,
+) -> HierarchicalResult:
+    """Coarse-to-fine warp solve.
+
+    ``initial_warp`` (finest resolution) is downsampled to the coarsest level
+    if given — used by warm-started multi-frame fusion.
+    """
+    canon_pyr = pyramid.build_pyramid(canonical, params.levels)
+    live_pyr = pyramid.build_pyramid(live, params.levels)
+
+    warp = None
+    if initial_warp is not None:
+        warp = initial_warp
+        for _ in range(params.levels - 1):
+            # Downsample warp: block-mean per component, displacement halved.
+            warp = (
+                jnp.stack(
+                    [
+                        pyramid.downsample2x_mean(warp[..., c])
+                        for c in range(warp.shape[-1])
+                    ],
+                    axis=-1,
+                )
+                * 0.5
+            )
+
+    results: List[SolveResult] = []
+    for level in range(params.levels):
+        canon_l, live_l = canon_pyr[level], live_pyr[level]
+        res = solve_single_level(canon_l, live_l, params.base, initial_warp=warp)
+        results.append(res)
+        if level + 1 < params.levels:
+            warp = pyramid.prolongate_warp(
+                res.warp, target_shape=canon_pyr[level + 1].shape
+            )
+        else:
+            warp = res.warp
+
+    return HierarchicalResult(warp=warp, level_results=results)
