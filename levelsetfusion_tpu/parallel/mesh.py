@@ -1,0 +1,33 @@
+"""Device mesh construction (SURVEY.md §5 distributed backend).
+
+The TSDF volume is sharded by voxel blocks along spatial axis 0 over a 1D
+mesh (the "x" axis rides ICI within a slice; multi-slice layouts extend the
+same mesh over DCN — the collectives are identical). Helpers here keep mesh
+plumbing out of the solvers.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int | None = None, axis_name: str = "x") -> Mesh:
+    """1D mesh over the first ``num_devices`` devices (default: all)."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    import numpy as np
+
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def block_sharding(mesh: Mesh, axis_name: str = "x") -> NamedSharding:
+    """Sharding that splits spatial axis 0 into voxel blocks."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_field(field, mesh: Mesh, axis_name: str = "x"):
+    return jax.device_put(field, block_sharding(mesh, axis_name))

@@ -1,0 +1,116 @@
+"""Sharded-vs-single-device parity tests (SURVEY.md §4: the natural
+generalization of the reference's parity-test culture) on a virtual 8-device
+CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from levelsetfusion_tpu.models import SolverParams, solve_single_level
+from levelsetfusion_tpu.models.params import SmoothingMode
+from levelsetfusion_tpu.parallel import make_mesh, solve_single_level_sharded
+from tests.test_single_level import make_pair_fields
+
+
+def _parity(params, num_devices=4, live_halo=8, fields=None):
+    if fields is None:
+        canonical, live, _ = make_pair_fields()
+    else:
+        canonical, live = fields
+    mesh = make_mesh(num_devices)
+    ref = solve_single_level(canonical, live, params)
+    sh = solve_single_level_sharded(
+        canonical, live, params, mesh=mesh, live_halo=live_halo
+    )
+    assert int(sh.iterations) == int(ref.iterations), (
+        int(sh.iterations),
+        int(ref.iterations),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.warp), np.asarray(ref.warp), atol=2e-5, rtol=1e-4
+    )
+    n = int(ref.iterations)
+    for name in ("data_energy", "smoothing_energy", "level_set_energy",
+                 "max_warp_update", "mean_warp_update"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sh.telemetry, name))[:n],
+            np.asarray(getattr(ref.telemetry, name))[:n],
+            atol=1e-4,
+            rtol=2e-4,
+            err_msg=name,
+        )
+    return ref, sh
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_parity_tikhonov():
+    _parity(SolverParams(max_iterations=40, learning_rate=1.0))
+
+
+def test_parity_tikhonov_sobolev():
+    _parity(
+        SolverParams(max_iterations=30, learning_rate=1.0, sobolev_smoothing=True)
+    )
+
+
+def test_parity_killing_levelset():
+    _parity(
+        SolverParams(
+            max_iterations=25,
+            learning_rate=0.5,
+            smoothing_mode=SmoothingMode.KILLING,
+            level_set_term_weight=0.1,
+        )
+    )
+
+
+def test_parity_8_devices():
+    _parity(
+        SolverParams(max_iterations=30, learning_rate=1.0, sobolev_smoothing=True),
+        num_devices=8,
+        live_halo=6,
+    )
+
+
+def test_parity_3d():
+    from levelsetfusion_tpu.core.grid import GridSpec
+    from levelsetfusion_tpu.io import synthetic
+    from levelsetfusion_tpu.ops.tsdf import generate_tsdf_3d
+    from levelsetfusion_tpu.core.camera import PinholeCamera
+
+    cam = PinholeCamera(fx=48.0, fy=48.0, cx=24.0, cy=24.0, image_width=48, image_height=48)
+    grid = GridSpec(shape=(32, 32, 24), voxel_size=0.008, offset=(-16, -16, 42))
+    c_depth = synthetic.blob_wall_depth_3d(cam, blob_radius_px=10.0, blob_height=0.06)
+    l_depth = synthetic.blob_wall_depth_3d(
+        cam, blob_center_px=(26.0, 24.0), blob_radius_px=10.0, blob_height=0.06
+    )
+    canonical = generate_tsdf_3d(jnp.asarray(c_depth), cam, grid)
+    live = generate_tsdf_3d(jnp.asarray(l_depth), cam, grid)
+    _parity(
+        SolverParams(
+            max_iterations=25,
+            learning_rate=0.5,
+            smoothing_term_weight=0.1,
+            smoothing_mode=SmoothingMode.KILLING,
+        ),
+        num_devices=4,
+        live_halo=8,
+        fields=(canonical, live),
+    )
+
+
+def test_sharded_result_is_correct_solution():
+    canonical, live, _ = make_pair_fields()
+    mesh = make_mesh(4)
+    params = SolverParams(max_iterations=100, learning_rate=1.0, convergence_threshold=1e-3)
+    sh = solve_single_level_sharded(canonical, live, params, mesh=mesh)
+    from levelsetfusion_tpu.ops.interpolation import warp_field
+
+    warped = np.asarray(warp_field(live, sh.warp))
+    before = np.abs(np.asarray(live) - np.asarray(canonical)).sum()
+    after = np.abs(warped - np.asarray(canonical)).sum()
+    assert after < 0.5 * before
