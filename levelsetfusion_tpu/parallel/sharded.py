@@ -304,7 +304,7 @@ def solve_single_level_sharded(
             rep,
             SolveTelemetry(rep, rep, rep, rep, rep),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     warp, iterations, converged, telemetry = fn(canonical, live, initial_warp)
     return SolveResult(
