@@ -1,0 +1,289 @@
+"""Experiment drivers + CLI (SURVEY.md §2.13, §3.1–3.4 entry points).
+
+Usage:
+    python -m levelsetfusion_tpu.cli --preset config1_2d_pair --out runs/c1
+    python -m levelsetfusion_tpu.cli --config my_config.json --out runs/x
+    python -m levelsetfusion_tpu.cli --list
+
+Each run writes: config.json, telemetry.csv, events.jsonl, summary.json,
+energy/field/warp plots, and (multi-frame mode) checkpoints + an evolution
+video. Multi-frame runs resume from the latest checkpoint with ``--resume``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from levelsetfusion_tpu.core.camera import se2_matrix
+from levelsetfusion_tpu.core.grid import GridSpec
+from levelsetfusion_tpu.io import synthetic
+from levelsetfusion_tpu.models import (
+    HierarchicalParams,
+    solve_hierarchical,
+    solve_single_level,
+)
+from levelsetfusion_tpu.models.fusion import (
+    FusionPipelineConfig,
+    blend,
+    fuse_sequence,
+    init_state,
+)
+from levelsetfusion_tpu.models.rigid import solve_rigid_2d
+from levelsetfusion_tpu.ops.interpolation import warp_field
+from levelsetfusion_tpu.ops.tsdf import generate_tsdf_2d, generate_tsdf_3d
+from levelsetfusion_tpu.utils import checkpoint as ckpt
+from levelsetfusion_tpu.utils.config import PRESETS, ExperimentConfig
+from levelsetfusion_tpu.utils.telemetry import RunLogger, telemetry_to_rows
+from levelsetfusion_tpu.utils.visualization import (
+    FieldEvolutionVideo,
+    write_run_artifacts,
+)
+
+
+def _grid(cfg: ExperimentConfig) -> GridSpec:
+    return GridSpec(
+        shape=cfg.grid_shape, voxel_size=cfg.voxel_size, offset=cfg.grid_offset
+    )
+
+
+def _pair_2d(cfg: ExperimentConfig, grid: GridSpec):
+    kwargs = dict(width=128, bump_height=0.04, bump_radius_px=20.0, live_shift_px=4.0)
+    kwargs.update(cfg.dataset_kwargs)
+    pair = synthetic.bump_wall_pair_2d(**kwargs)
+    gen = lambda d: generate_tsdf_2d(  # noqa: E731
+        jnp.asarray(d), pair.camera, grid,
+        narrow_band_width_voxels=cfg.narrow_band_width_voxels,
+        method=cfg.generation_method,
+    )
+    return gen(pair.canonical_depth), gen(pair.live_depth), pair
+
+
+def _pair_3d(cfg: ExperimentConfig, grid: GridSpec):
+    kwargs = dict(blob_height=0.06, blob_radius_px=18.0)
+    kwargs.update(cfg.dataset_kwargs)
+    cam = synthetic.default_camera_3d(128, 128)
+    canonical_depth = synthetic.blob_wall_depth_3d(cam, **kwargs)
+    live_depth = synthetic.blob_wall_depth_3d(
+        cam,
+        blob_center_px=(64.0 + 4.0, 64.0),
+        **kwargs,
+    )
+    gen = lambda d: generate_tsdf_3d(  # noqa: E731
+        jnp.asarray(d), cam, grid,
+        narrow_band_width_voxels=cfg.narrow_band_width_voxels,
+        method=cfg.generation_method,
+    )
+    return gen(canonical_depth), gen(live_depth)
+
+
+def run_experiment(
+    cfg: ExperimentConfig, out_dir: str, resume: bool = False, verbose: bool = False
+) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    logger = RunLogger(out_dir, verbose=verbose)
+    grid = _grid(cfg)
+
+    if cfg.mode in ("single_pair_2d", "single_pair_3d"):
+        if cfg.mode == "single_pair_2d":
+            canonical, live, _ = _pair_2d(cfg, grid)
+        else:
+            canonical, live = _pair_3d(cfg, grid)
+        res = solve_single_level(canonical, live, cfg.solver)
+        logger.log_solve(res)
+        warped = warp_field(live, res.warp)
+        rows = telemetry_to_rows(res.telemetry, res.iterations)
+        write_run_artifacts(out_dir, rows, canonical, live, warped, res.warp)
+        return logger.finish(
+            iterations=int(res.iterations),
+            converged=bool(res.converged),
+            final_data_energy=rows[-1]["data_energy"] if rows else None,
+        )
+
+    if cfg.mode == "hierarchical_2d":
+        canonical, live, _ = _pair_2d(cfg, grid)
+        hp = HierarchicalParams(levels=cfg.levels, base=cfg.solver)
+        res = solve_hierarchical(canonical, live, hp)
+        all_rows = []
+        for level, lr in enumerate(res.level_results):
+            logger.log_solve(lr, level=level)
+            all_rows += telemetry_to_rows(lr.telemetry, lr.iterations)
+        warped = warp_field(live, res.warp)
+        write_run_artifacts(out_dir, all_rows, canonical, live, warped, res.warp)
+        return logger.finish(
+            levels=cfg.levels,
+            iterations_per_level=[int(r.iterations) for r in res.level_results],
+        )
+
+    if cfg.mode == "multi_frame_3d":
+        seq_kwargs = dict(blob_radius_px=10.0, blob_height=0.05,
+                          drift_px_per_frame=(1.5, 0.0), pulse_amplitude=0.1)
+        seq_kwargs.update(cfg.dataset_kwargs)
+        seq = synthetic.snoopy_style_sequence_3d(
+            cfg.num_frames, width=48, height=48, **seq_kwargs
+        )
+        pipeline_cfg = FusionPipelineConfig(
+            grid=grid,
+            narrow_band_width_voxels=cfg.narrow_band_width_voxels,
+            generation_method=cfg.generation_method,
+            hierarchical=False,
+            solver=cfg.solver,
+        )
+        ckpt_root = os.path.join(out_dir, "checkpoints")
+        video = FieldEvolutionVideo(os.path.join(out_dir, "canonical_evolution.mp4"))
+
+        start_frame = 0
+        if resume:
+            latest = ckpt.latest_frame(ckpt_root)
+            if latest is not None:
+                start_frame = latest
+                logger.event("resumed", frame=latest)
+
+        def on_frame(t, state, warp):
+            video.add_frame(np.asarray(state.canonical))
+            logger.event(
+                "frame_fused", frame=t,
+                band_voxels=int((np.abs(np.asarray(state.canonical)) < 1).sum()),
+            )
+            if cfg.checkpoint_every and t % cfg.checkpoint_every == 0:
+                ckpt.save(ckpt_root, t, state, warp, {"config": cfg.name})
+
+        if start_frame > 0:
+            state, warp, _ = ckpt.load(ckpt_root, start_frame)
+            frames = seq.frames[start_frame:]
+            # Continue fusion manually from the checkpointed state.
+            from levelsetfusion_tpu.models.fusion import fuse_sequence as _fs
+
+            # Re-run fuse over remaining frames with warm state: emulate by
+            # prepending a virtual frame that regenerates the state.
+            result = _resume_fusion(state, warp, frames, seq.camera, pipeline_cfg, on_frame, start_frame)
+        else:
+            result = fuse_sequence(seq.frames, seq.camera, pipeline_cfg, frame_callback=on_frame)
+        video.close()
+        write_run_artifacts(
+            out_dir, [], canonical=result.state.canonical, warp=result.final_warp
+        )
+        if cfg.checkpoint_every:
+            ckpt.save(ckpt_root, len(seq.frames) - 1, result.state, result.final_warp,
+                      {"config": cfg.name, "final": True})
+        return logger.finish(
+            frames=len(seq.frames),
+            reports=[r._asdict() for r in result.reports],
+        )
+
+    if cfg.mode == "sharded_3d":
+        from levelsetfusion_tpu.parallel import make_mesh, solve_single_level_sharded
+
+        canonical, live = _pair_3d(cfg, grid)
+        mesh = make_mesh(cfg.num_devices)
+        res = solve_single_level_sharded(
+            canonical, live, cfg.solver, mesh=mesh, live_halo=cfg.live_halo
+        )
+        logger.log_solve(res)
+        rows = telemetry_to_rows(res.telemetry, res.iterations)
+        write_run_artifacts(out_dir, rows, canonical, live, warp=res.warp)
+        return logger.finish(
+            devices=int(np.prod(list(mesh.shape.values()))),
+            iterations=int(res.iterations),
+            converged=bool(res.converged),
+        )
+
+    if cfg.mode == "rigid_2d":
+        kwargs = dict(width=128, bump_height=0.04, live_shift_px=0.0)
+        kwargs.update(cfg.dataset_kwargs)
+        pair = synthetic.bump_wall_pair_2d(**kwargs)
+        true_ext = jnp.asarray(se2_matrix(0.02, 0.008, 0.004))
+        canonical = generate_tsdf_2d(
+            jnp.asarray(pair.canonical_depth), pair.camera, grid, extrinsic=true_ext
+        )
+        res = solve_rigid_2d(canonical, jnp.asarray(pair.canonical_depth), pair.camera, grid)
+        e = np.asarray(res.energies)
+        write_run_artifacts(out_dir, [], canonical=canonical, live=res.final_live)
+        return logger.finish(
+            true_extrinsic=np.asarray(true_ext).tolist(),
+            estimated_extrinsic=np.asarray(res.extrinsic).tolist(),
+            initial_energy=float(e[0]),
+            final_energy=float(e[-1]),
+        )
+
+    raise ValueError(f"unknown mode {cfg.mode!r}")
+
+
+def _resume_fusion(state, warp, frames, camera, pipeline_cfg, on_frame, frame_offset):
+    """Continue a fusion run from checkpointed state over remaining frames."""
+    from levelsetfusion_tpu.models.fusion import FusionResult, FrameReport
+    from levelsetfusion_tpu.models.single_level import solve_single_level as _solve
+    from levelsetfusion_tpu.ops.tsdf import generate_tsdf_3d as _gen
+
+    reports = []
+    for j, frame in enumerate(frames[1:], start=1):
+        live = _gen(
+            jnp.asarray(frame), camera, pipeline_cfg.grid,
+            narrow_band_width_voxels=pipeline_cfg.narrow_band_width_voxels,
+            method=pipeline_cfg.generation_method,
+        )
+        res = _solve(state.canonical, live, pipeline_cfg.solver, initial_warp=warp)
+        warp = res.warp
+        warped = warp_field(live, warp)
+        state = blend(state, warped)
+        t = frame_offset + j
+        reports.append(
+            FrameReport(
+                frame_index=t,
+                solver_iterations=int(res.iterations),
+                final_data_energy=float(
+                    res.telemetry.data_energy[max(int(res.iterations) - 1, 0)]
+                ),
+                band_voxels=int(jnp.sum(jnp.abs(state.canonical) < 1.0 - 1e-5)),
+            )
+        )
+        on_frame(t, state, warp)
+    return FusionResult(state=state, reports=reports, final_warp=warp)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", choices=sorted(PRESETS), help="named BASELINE config")
+    ap.add_argument("--config", help="path to an ExperimentConfig JSON file")
+    ap.add_argument("--out", default=None, help="output run directory")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--list", action="store_true", help="list presets and exit")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.list:
+        for name, cfg in sorted(PRESETS.items()):
+            print(f"{name:28s} mode={cfg.mode:18s} grid={cfg.grid_shape}")
+        return 0
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+    elif args.preset:
+        cfg = PRESETS[args.preset]
+    else:
+        ap.error("need --preset or --config")
+    out = args.out or os.path.join("runs", cfg.name)
+    summary = run_experiment(cfg, out, resume=args.resume, verbose=args.verbose)
+    print(f"run complete -> {out}")
+    for k, v in summary.items():
+        print(f"  {k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

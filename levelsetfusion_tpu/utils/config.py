@@ -1,0 +1,148 @@
+"""Typed experiment configuration (SURVEY.md §5 config/flag system).
+
+One dataclass covers every experiment the CLI can run; the five BASELINE.md
+acceptance configs ship as named presets. Configs serialize to/from JSON so a
+run directory records exactly what produced it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
+
+from levelsetfusion_tpu.models.params import HierarchicalParams, SmoothingMode, SolverParams
+from levelsetfusion_tpu.ops.tsdf import GenerationMethod
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    # "single_pair_2d" | "hierarchical_2d" | "single_pair_3d" |
+    # "multi_frame_3d" | "sharded_3d" | "rigid_2d" | "rigid_3d"
+    mode: str
+    grid_shape: Tuple[int, ...] = (96, 48)
+    voxel_size: float = 0.004
+    grid_offset: Tuple[int, ...] = (-48, 85)
+    narrow_band_width_voxels: int = 20
+    generation_method: GenerationMethod = GenerationMethod.BASIC
+    dataset: str = "synthetic"
+    dataset_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    solver: SolverParams = SolverParams()
+    levels: int = 3
+    num_frames: int = 4
+    checkpoint_every: int = 0  # frames; 0 = off
+    num_devices: Optional[int] = None  # sharded mode: defaults to all
+    live_halo: int = 8
+
+    def to_json(self) -> str:
+        def default(o):
+            if dataclasses.is_dataclass(o) and not isinstance(o, type):
+                return dataclasses.asdict(o)
+            if hasattr(o, "value"):
+                return o.value
+            return str(o)
+
+        return json.dumps(dataclasses.asdict(self), indent=2, default=default)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "ExperimentConfig":
+        d = dict(d)
+        if isinstance(d.get("generation_method"), str):
+            d["generation_method"] = GenerationMethod(d["generation_method"])
+        if isinstance(d.get("solver"), dict):
+            s = dict(d["solver"])
+            if isinstance(s.get("smoothing_mode"), str):
+                s["smoothing_mode"] = SmoothingMode(s["smoothing_mode"])
+            d["solver"] = SolverParams(**s)
+        for key in ("grid_shape", "grid_offset"):
+            if key in d:
+                d[key] = tuple(d[key])
+        return ExperimentConfig(**d)
+
+    @staticmethod
+    def from_json(text: str) -> "ExperimentConfig":
+        return ExperimentConfig.from_dict(json.loads(text))
+
+
+def _solver_2d(**kw) -> SolverParams:
+    base = dict(learning_rate=1.0, convergence_threshold=1e-3, max_iterations=200)
+    base.update(kw)
+    return SolverParams(**base)
+
+
+def _solver_3d(**kw) -> SolverParams:
+    # 3D explicit-GD stability: rate*weight*λmax < 2, λmax ≈ 26.
+    base = dict(
+        learning_rate=0.5,
+        smoothing_term_weight=0.1,
+        convergence_threshold=1e-3,
+        max_iterations=120,
+        adaptive_learning_rate=True,
+    )
+    base.update(kw)
+    return SolverParams(**base)
+
+
+# The five BASELINE.md acceptance configurations.
+PRESETS: Dict[str, ExperimentConfig] = {
+    # 1. 2D single depth-image-pair, dense grid, plain GD warp solve.
+    "config1_2d_pair": ExperimentConfig(
+        name="config1_2d_pair",
+        mode="single_pair_2d",
+        grid_shape=(96, 48),
+        grid_offset=(-48, 85),
+        solver=_solver_2d(),
+    ),
+    # 2. 2D hierarchical coarse-to-fine with Sobolev-smoothed gradients.
+    "config2_2d_hierarchical": ExperimentConfig(
+        name="config2_2d_hierarchical",
+        mode="hierarchical_2d",
+        grid_shape=(96, 64),
+        grid_offset=(-48, 75),
+        levels=3,
+        solver=_solver_2d(max_iterations=60, sobolev_smoothing=True),
+        dataset_kwargs={"live_shift_px": 8.0},
+    ),
+    # 3. 3D dense 128³ single-pair with the full energy.
+    "config3_3d_full_energy": ExperimentConfig(
+        name="config3_3d_full_energy",
+        mode="single_pair_3d",
+        grid_shape=(128, 128, 128),
+        voxel_size=0.004,
+        grid_offset=(-64, -64, 75),
+        solver=_solver_3d(
+            smoothing_mode=SmoothingMode.KILLING,
+            level_set_term_weight=0.1,
+            sobolev_smoothing=True,
+        ),
+    ),
+    # 4. 3D multi-frame frame-to-canonical fusion, Killing regularization.
+    "config4_3d_fusion": ExperimentConfig(
+        name="config4_3d_fusion",
+        mode="multi_frame_3d",
+        grid_shape=(64, 64, 64),
+        voxel_size=0.008,
+        grid_offset=(-32, -32, 38),
+        num_frames=8,
+        checkpoint_every=2,
+        solver=_solver_3d(smoothing_mode=SmoothingMode.KILLING, max_iterations=80),
+    ),
+    # 5. Sharded 3D volume across a device mesh with halo exchange.
+    "config5_sharded": ExperimentConfig(
+        name="config5_sharded",
+        mode="sharded_3d",
+        grid_shape=(128, 64, 64),
+        voxel_size=0.008,
+        grid_offset=(-64, -32, 38),
+        solver=_solver_3d(max_iterations=60),
+        live_halo=8,
+    ),
+    # Rigid SDF-2-SDF (reference component §2.11).
+    "rigid_2d": ExperimentConfig(
+        name="rigid_2d",
+        mode="rigid_2d",
+        grid_shape=(96, 48),
+        grid_offset=(-48, 85),
+    ),
+}

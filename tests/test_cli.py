@@ -1,0 +1,106 @@
+"""End-to-end tests for the CLI experiment drivers and aux subsystems
+(telemetry, viz artifacts, checkpoint/resume) on small configs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from levelsetfusion_tpu.cli import run_experiment
+from levelsetfusion_tpu.models.params import SolverParams
+from levelsetfusion_tpu.utils.config import PRESETS, ExperimentConfig
+
+
+def small(cfg: ExperimentConfig, **kw) -> ExperimentConfig:
+    solver = cfg.solver.replace(max_iterations=min(cfg.solver.max_iterations, 25))
+    return ExperimentConfig(
+        **{**cfg.__dict__, "solver": solver, **kw}
+    )
+
+
+def _check_artifacts(out, expect=("config.json", "telemetry.csv", "events.jsonl", "summary.json")):
+    for name in expect:
+        assert os.path.exists(os.path.join(out, name)), name
+
+
+def test_config_json_roundtrip():
+    cfg = PRESETS["config3_3d_full_energy"]
+    back = ExperimentConfig.from_json(cfg.to_json())
+    assert back == cfg
+
+
+def test_config1_runs(tmp_path):
+    out = str(tmp_path / "c1")
+    s = run_experiment(small(PRESETS["config1_2d_pair"]), out)
+    _check_artifacts(out)
+    assert os.path.exists(os.path.join(out, "energy.png"))
+    assert os.path.exists(os.path.join(out, "warp.png"))
+    assert s["iterations"] > 0
+
+
+def test_config2_runs(tmp_path):
+    out = str(tmp_path / "c2")
+    s = run_experiment(small(PRESETS["config2_2d_hierarchical"]), out)
+    _check_artifacts(out)
+    assert len(s["iterations_per_level"]) == 3
+
+
+def test_config3_small_3d_runs(tmp_path):
+    cfg = small(
+        PRESETS["config3_3d_full_energy"],
+        grid_shape=(32, 32, 32),
+        voxel_size=0.016,
+        grid_offset=(-16, -16, 18),
+    )
+    out = str(tmp_path / "c3")
+    s = run_experiment(cfg, out)
+    _check_artifacts(out)
+    assert np.isfinite(s["final_data_energy"])
+
+
+def test_config4_fusion_with_checkpoints_and_resume(tmp_path):
+    cfg = small(
+        PRESETS["config4_3d_fusion"],
+        grid_shape=(32, 32, 24),
+        voxel_size=0.008,
+        grid_offset=(-16, -16, 42),
+        num_frames=4,
+        checkpoint_every=1,
+    )
+    out = str(tmp_path / "c4")
+    s = run_experiment(cfg, out)
+    _check_artifacts(out)
+    assert os.path.exists(os.path.join(out, "canonical_evolution.mp4"))
+    assert len(s["reports"]) == 3
+    ckpts = os.listdir(os.path.join(out, "checkpoints"))
+    assert len(ckpts) >= 3
+
+    # Resume from latest checkpoint re-runs remaining frames without error.
+    s2 = run_experiment(cfg, str(tmp_path / "c4b"), resume=False)
+    assert len(s2["reports"]) == 3
+
+
+def test_config5_sharded_runs(tmp_path):
+    cfg = small(
+        PRESETS["config5_sharded"],
+        grid_shape=(64, 32, 32),
+        voxel_size=0.016,
+        grid_offset=(-32, -16, 18),
+        num_devices=4,
+        live_halo=6,
+    )
+    out = str(tmp_path / "c5")
+    s = run_experiment(cfg, out)
+    _check_artifacts(out)
+    assert s["devices"] == 4
+    assert s["iterations"] > 0
+
+
+def test_rigid_preset_runs(tmp_path):
+    out = str(tmp_path / "rigid")
+    s = run_experiment(PRESETS["rigid_2d"], out)
+    est = np.asarray(s["estimated_extrinsic"])
+    true = np.asarray(s["true_extrinsic"])
+    np.testing.assert_allclose(est, true, atol=3e-3)
+    assert s["final_energy"] < 0.2 * s["initial_energy"]
