@@ -114,3 +114,19 @@ def test_sharded_result_is_correct_solution():
     before = np.abs(np.asarray(live) - np.asarray(canonical)).sum()
     after = np.abs(warped - np.asarray(canonical)).sum()
     assert after < 0.5 * before
+
+
+def test_gspmd_auto_sharding_matches_single_device():
+    """The pjit/GSPMD path (sharded inputs, XLA inserts collectives) matches
+    the single-device result exactly."""
+    from levelsetfusion_tpu.parallel.auto import solve_single_level_auto
+
+    canonical, live, _ = make_pair_fields()
+    params = SolverParams(max_iterations=30, learning_rate=1.0, sobolev_smoothing=True)
+    ref = solve_single_level(canonical, live, params)
+    mesh = make_mesh(4)
+    auto = solve_single_level_auto(canonical, live, params, mesh=mesh)
+    assert int(auto.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(auto.warp), np.asarray(ref.warp), atol=1e-5)
+    # Output really is sharded over the mesh.
+    assert len(auto.warp.sharding.device_set) == 4
