@@ -41,6 +41,9 @@ def _build_fields(shape):
 def _params():
     from levelsetfusion_tpu.models.params import SmoothingMode, SolverParams
 
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
     return SolverParams(
         max_iterations=N_ITER,
         learning_rate=0.3,
@@ -49,6 +52,8 @@ def _params():
         level_set_term_weight=0.1,
         sobolev_smoothing=True,
         convergence_threshold=0.0,  # run exactly max_iterations
+        use_pallas_resample=on_tpu,
+        pallas_max_displacement=2,
     )
 
 

@@ -36,6 +36,11 @@ class SolverParams:
     # Adaptive learning rate (reference's optional switch [MED]): halve the
     # rate whenever total energy increases between iterations.
     adaptive_learning_rate: bool = False
+    # TPU fast path: Pallas warp-resample kernel (ops/pallas/resample.py).
+    # Exact for per-voxel x/y displacements within ±pallas_max_displacement
+    # (clamped beyond); requires trailing spatial extent 128. Ignored off-TPU.
+    use_pallas_resample: bool = False
+    pallas_max_displacement: int = 2
 
     def replace(self, **kw) -> "SolverParams":
         return dataclasses.replace(self, **kw)

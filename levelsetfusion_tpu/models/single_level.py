@@ -66,6 +66,8 @@ def _solver_step(canonical, live, warp, params: SolverParams, kernel):
         rigidity_enforcement_factor=params.rigidity_enforcement_factor,
         band_union_only=params.band_union_only,
         sobolev_kernel=kernel,
+        use_pallas_resample=params.use_pallas_resample,
+        pallas_max_displacement=params.pallas_max_displacement,
     )
     return res
 

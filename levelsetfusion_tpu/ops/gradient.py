@@ -54,9 +54,18 @@ def warp_energy_gradient(
     rigidity_enforcement_factor: float = 0.1,
     band_union_only: bool = True,
     sobolev_kernel: jnp.ndarray | None = None,
+    use_pallas_resample: bool = False,
+    pallas_max_displacement: int = 2,
 ) -> GradientResult:
     """Combined energy gradient at the current warp. Weights/modes are static."""
-    warped, warped_grad = interpolation.warp_field_with_gradient(live, warp)
+    if use_pallas_resample:
+        from levelsetfusion_tpu.ops.pallas.resample import warp_field_fast
+        from levelsetfusion_tpu.ops.derivatives import gradient as _grad
+
+        warped = warp_field_fast(live, warp, pallas_max_displacement)
+        warped_grad = _grad(warped)
+    else:
+        warped, warped_grad = interpolation.warp_field_with_gradient(live, warp)
 
     g_data, e_data = terms.data_term(
         warped, canonical, warped_grad, band_union_only=band_union_only

@@ -7,13 +7,21 @@ import numpy as np
 import jax.numpy as jnp
 
 from levelsetfusion_tpu.ops.interpolation import warp_field
-from levelsetfusion_tpu.ops.pallas.resample import MAX_DISPLACEMENT, warp_field_pallas
+from levelsetfusion_tpu.ops.pallas.resample import warp_field_pallas
+
+
+def _golden_clamped(f, w, k):
+    """Golden op with the kernel's documented x/y clamping."""
+    wc = jnp.concatenate([jnp.clip(w[..., :-1], -k, k), w[..., -1:]], axis=-1)
+    if f.ndim == 2:
+        wc = jnp.concatenate([jnp.clip(w[..., :1], -k, k), w[..., 1:]], axis=-1)
+    return warp_field(f, wc)
 
 
 def test_resample3d_parity_small_warp(rng):
     f = jnp.asarray(rng.standard_normal((8, 8, 128)).astype(np.float32))
-    w = jnp.asarray(rng.uniform(-3.5, 3.5, (8, 8, 128, 3)).astype(np.float32))
-    out = warp_field_pallas(f, w, interpret=True)
+    w = jnp.asarray(rng.uniform(-1.9, 1.9, (8, 8, 128, 3)).astype(np.float32))
+    out = warp_field_pallas(f, w, max_displacement=2, y_block=8, interpret=True)
     ref = warp_field(f, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
@@ -21,34 +29,46 @@ def test_resample3d_parity_small_warp(rng):
 def test_resample3d_zero_warp_identity(rng):
     f = jnp.asarray(rng.standard_normal((8, 8, 128)).astype(np.float32))
     w = jnp.zeros((8, 8, 128, 3), jnp.float32)
-    out = warp_field_pallas(f, w, interpret=True)
+    out = warp_field_pallas(f, w, max_displacement=2, y_block=8, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(f), atol=1e-6)
 
 
-def test_resample2d_parity(rng):
-    f = jnp.asarray(rng.standard_normal((16, 128)).astype(np.float32))
-    w = jnp.asarray(rng.uniform(-3.5, 3.5, (16, 128, 2)).astype(np.float32))
-    out = warp_field_pallas(f, w, interpret=True)
+def test_resample3d_unbounded_z_displacement(rng):
+    """z displacements are NOT clamped — any magnitude is exact (out-of-band
+    reads fill +1)."""
+    f = jnp.asarray(rng.standard_normal((8, 8, 128)).astype(np.float32))
+    w = jnp.zeros((8, 8, 128, 3), jnp.float32)
+    w = w.at[..., 2].set(
+        jnp.asarray(rng.uniform(-30, 30, (8, 8, 128)).astype(np.float32))
+    )
+    out = warp_field_pallas(f, w, max_displacement=1, y_block=8, interpret=True)
     ref = warp_field(f, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
-def test_resample_clamps_large_displacements(rng):
-    """Beyond MAX_DISPLACEMENT the kernel clamps x/y displacements —
-    documented fast-path semantics, asserted against the golden op applied to
-    the clamped warp."""
-    k = MAX_DISPLACEMENT
-    f = jnp.asarray(rng.standard_normal((8, 8, 128)).astype(np.float32))
-    w = jnp.asarray(rng.uniform(-8.0, 8.0, (8, 8, 128, 3)).astype(np.float32))
-    out = warp_field_pallas(f, w, interpret=True)
-    w_clamped = jnp.clip(w, -k, k)
-    ref = warp_field(f, w_clamped)
+def test_resample2d_parity(rng):
+    f = jnp.asarray(rng.standard_normal((16, 128)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-1.9, 1.9, (16, 128, 2)).astype(np.float32))
+    out = warp_field_pallas(f, w, max_displacement=2, interpret=True)
+    ref = warp_field(f, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
-def test_out_of_bounds_fill(rng):
+def test_resample_clamps_large_xy_displacements(rng):
+    """Beyond max_displacement the kernel clamps x/y displacements —
+    documented fast-path semantics, asserted against the golden op applied
+    to the clamped warp."""
+    k = 2
     f = jnp.asarray(rng.standard_normal((8, 8, 128)).astype(np.float32))
-    w = jnp.full((8, 8, 128, 3), 4.0, jnp.float32)  # pushes edge reads outside
-    out = np.asarray(warp_field_pallas(f, w, interpret=True))
-    # Voxels whose source is fully outside the grid read +1.
-    assert np.allclose(out[-1, -1, -10:], 1.0, atol=1e-6)
+    w = jnp.asarray(rng.uniform(-8.0, 8.0, (8, 8, 128, 3)).astype(np.float32))
+    out = warp_field_pallas(f, w, max_displacement=k, y_block=8, interpret=True)
+    ref = _golden_clamped(f, w, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_resample_k1_parity(rng):
+    f = jnp.asarray(rng.standard_normal((8, 16, 128)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-0.9, 0.9, (8, 16, 128, 3)).astype(np.float32))
+    out = warp_field_pallas(f, w, max_displacement=1, y_block=16, interpret=True)
+    ref = warp_field(f, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
