@@ -25,6 +25,52 @@ class HierarchicalResult(NamedTuple):
     level_results: List[SolveResult]  # [coarsest, ..., finest]
 
 
+def build_pyramid_from_depth(
+    depth,
+    camera,
+    grid,
+    levels: int,
+    narrow_band_width_voxels: int = 20,
+    coarse_method=None,
+):
+    """EWA-aware pyramid (SURVEY.md §2.10 [MED]): instead of block-mean
+    downsampling the fine TSDF, coarse levels are regenerated directly from
+    the depth image on coarsened grids with EWA sampling — the footprint of a
+    coarse voxel in the image is integrated rather than aliased.
+
+    Returns ([coarsest, ..., finest] fields, matching GridSpecs).
+    """
+    from levelsetfusion_tpu.ops.tsdf import (
+        GenerationMethod,
+        generate_tsdf_2d,
+        generate_tsdf_3d,
+    )
+
+    if coarse_method is None:
+        coarse_method = GenerationMethod.EWA_IMAGE
+    gen = generate_tsdf_2d if grid.dim == 2 else generate_tsdf_3d
+    fields, grids = [], []
+    g = grid
+    for level in range(levels):
+        method = GenerationMethod.BASIC if level == 0 else coarse_method
+        fields.append(
+            gen(
+                depth,
+                camera,
+                g,
+                narrow_band_width_voxels=narrow_band_width_voxels,
+                method=method,
+            )
+        )
+        grids.append(g)
+        if level + 1 < levels:
+            # Halve the band width in voxels as voxels double in size, so the
+            # metric truncation distance is preserved across levels.
+            narrow_band_width_voxels = max(narrow_band_width_voxels // 2, 2)
+            g = g.coarsened(2)
+    return fields[::-1], grids[::-1]
+
+
 def solve_hierarchical(
     canonical: jnp.ndarray,
     live: jnp.ndarray,
@@ -55,6 +101,10 @@ def solve_hierarchical(
                 * 0.5
             )
 
+    return _solve_over_pyramids(canon_pyr, live_pyr, params, warp)
+
+
+def _solve_over_pyramids(canon_pyr, live_pyr, params, warp=None) -> HierarchicalResult:
     results: List[SolveResult] = []
     for level in range(params.levels):
         canon_l, live_l = canon_pyr[level], live_pyr[level]
@@ -68,3 +118,24 @@ def solve_hierarchical(
             warp = res.warp
 
     return HierarchicalResult(warp=warp, level_results=results)
+
+
+def solve_hierarchical_from_depth(
+    canonical_depth,
+    live_depth,
+    camera,
+    grid,
+    params: HierarchicalParams = HierarchicalParams(),
+    narrow_band_width_voxels: int = 20,
+    coarse_method=None,
+) -> HierarchicalResult:
+    """Hierarchical solve with EWA depth-regenerated pyramids (§2.10)."""
+    canon_pyr, _ = build_pyramid_from_depth(
+        canonical_depth, camera, grid, params.levels,
+        narrow_band_width_voxels, coarse_method,
+    )
+    live_pyr, _ = build_pyramid_from_depth(
+        live_depth, camera, grid, params.levels,
+        narrow_band_width_voxels, coarse_method,
+    )
+    return _solve_over_pyramids(canon_pyr, live_pyr, params)

@@ -31,3 +31,24 @@ def block_sharding(mesh: Mesh, axis_name: str = "x") -> NamedSharding:
 
 def shard_field(field, mesh: Mesh, axis_name: str = "x"):
     return jax.device_put(field, block_sharding(mesh, axis_name))
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` + a mesh over all
+    global devices. On a pod slice the 1D block mesh spans hosts — halo
+    ppermutes ride ICI between neighboring chips; only the two cross-host
+    boundary exchanges per step touch DCN. No-ops on a single process.
+
+    (Untestable in this single-host container; exercised by the driver's
+    multi-chip dry run via virtual devices.)
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )

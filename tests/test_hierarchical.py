@@ -66,3 +66,42 @@ def test_initial_warp_passthrough():
     res1 = solve_hierarchical(canonical, live, params)
     res2 = solve_hierarchical(canonical, live, params, initial_warp=res1.warp)
     assert _err_ratio(canonical, live, res2.warp) <= _err_ratio(canonical, live, res1.warp) * 1.1
+
+
+def test_hierarchical_from_depth_ewa_pyramid():
+    """EWA depth-regenerated pyramid path (SURVEY.md §2.10) solves config-2
+    style problems end-to-end."""
+    import jax.numpy as jnp
+    from levelsetfusion_tpu.core.grid import GridSpec
+    from levelsetfusion_tpu.io import synthetic
+    from levelsetfusion_tpu.models.hierarchical import (
+        build_pyramid_from_depth,
+        solve_hierarchical_from_depth,
+    )
+    from levelsetfusion_tpu.ops.tsdf import generate_tsdf_2d
+
+    pair = synthetic.bump_wall_pair_2d(
+        width=128, bump_height=0.04, bump_radius_px=20.0, live_shift_px=6.0
+    )
+    grid = GridSpec(shape=(96, 64), voxel_size=0.004, offset=(-48, 75))
+
+    pyr, grids = build_pyramid_from_depth(
+        jnp.asarray(pair.canonical_depth), pair.camera, grid, levels=3
+    )
+    assert [p.shape for p in pyr] == [(24, 16), (48, 32), (96, 64)]
+    assert grids[0].voxel_size == 0.016
+    # Coarse fields are genuinely in-band TSDFs, not all-truncated.
+    assert float((abs(pyr[0]) < 1).mean()) > 0.1
+
+    params = HierarchicalParams(
+        levels=3,
+        base=SolverParams(max_iterations=40, learning_rate=1.0,
+                          convergence_threshold=1e-3, sobolev_smoothing=True),
+    )
+    res = solve_hierarchical_from_depth(
+        jnp.asarray(pair.canonical_depth), jnp.asarray(pair.live_depth),
+        pair.camera, grid, params,
+    )
+    canonical = generate_tsdf_2d(jnp.asarray(pair.canonical_depth), pair.camera, grid)
+    live = generate_tsdf_2d(jnp.asarray(pair.live_depth), pair.camera, grid)
+    assert _err_ratio(canonical, live, res.warp) < 0.6
