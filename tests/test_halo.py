@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from levelsetfusion_tpu.ops.derivatives import _diff_axis, laplacian
+from levelsetfusion_tpu.ops.derivatives import laplacian  # noqa: F401
 from levelsetfusion_tpu.parallel.halo import (
     convolve0_zero_edges,
     d0_edge_fixed,
