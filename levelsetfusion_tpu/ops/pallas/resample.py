@@ -1,11 +1,10 @@
 """Pallas TPU warp-resample kernel — the pipeline's dominant cost.
 
 Why a kernel: XLA lowers the trilinear gather ``Φ_live(x + u(x))`` to a
-general TPU gather (~198 ms per 128³ resample on v5e — measured; TPUs have
-no hardware gather). This kernel exploits the problem's structure instead
-and measures **84 ms at K=2 / 40 ms at K=1** for the same resample (see
-KERNEL_NOTES.md for the full design-space log and the next optimization
-steps).
+general TPU gather (~192 ms per 128³ resample on v5e, dispatch-floor
+corrected — TPUs have no hardware gather). This kernel exploits the
+problem's structure instead and measures **~12 ms** for the same resample
+(v8; see KERNEL_NOTES.md for the measured design-space log).
 
 Design (exact trilinear for per-axis displacements ``|u| ≤ K``; larger x/y
 displacements are clamped — documented fast-path semantics; z is unbounded):
@@ -19,12 +18,24 @@ displacements are clamped — documented fast-path semantics; z is unbounded):
 - The **y shifts are pre-materialized** as a stacked array of 2K+2 y-shifted
   copies (cheap XLA slices) so that every in-kernel access is a tile-aligned
   block — unaligned sublane access on TPU forces murderous relayouts.
-- The **x slab** rides an all-``pl.Element`` BlockSpec whose x start is the
-  raw grid index (element-granular overlapping windows).
+- The stacked array is delivered in **x-chunked VMEM-resident blocks**
+  (plain leading-dim windows that advance every ``xb`` grid steps); the
+  kernel indexes x windows with *dynamic leading-dim indices*, which Mosaic
+  serves at vreg speed. Per-grid-step ``pl.Element`` windows are ~105 µs of
+  DMA overhead per step — measured, avoided.
+- **Tent weight planes are precomputed into VMEM scratch with static
+  shifts** before the pair loop. This is the load-bearing trick: any vector
+  op whose operand mixes in a *dynamic scalar* derived from the loop index
+  (e.g. ``tent(u − (cy − k))``) costs ~7.6 µs per op on v5e (scalar→vector
+  sync), which made the naive loop 36 × 7.6 µs ≈ 70 ms of pure stall. With
+  static-shift precompute + dynamic-index scratch reads the pair body costs
+  ~0.6 µs.
 - The **z axis** uses the VPU's per-element dynamic gather within one vreg
   (``tpu.dynamic_gather`` via ``take_along_axis``, lane width 128) with both
   interpolation corners and out-of-band +1 fill folded into per-corner
   weights — hence the fast path requires the trailing extent to equal 128.
+- The x/y **clamp to ±K happens in-kernel** (static bounds), so the warp
+  tensor is passed through untouched — zero XLA prep on the warp.
 
 ``warp_field_fast`` dispatches: Pallas on TPU when the shape fits, golden
 jnp path otherwise. Parity: tests/test_pallas.py (interpret mode on CPU) and
@@ -51,10 +62,15 @@ def _tent(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def _resample3d_kernel(s_ref, warp_ref, out_ref, *, k: int):
+def _resample3d_kernel(s_ref, warp_ref, out_ref, tx_ref, ty_ref, *, k: int, xb: int):
+    """One output block = (1 x-row, yb y, 128 z). See module docstring."""
     n = 2 * k + 2
-    ux = warp_ref[0, :, :, 0]
-    uy = warp_ref[0, :, :, 1]
+    i = pl.program_id(1)
+    r = i - (i // xb) * xb  # x row within the current x-chunk window
+    kf = float(k)
+
+    ux = jnp.clip(warp_ref[0, :, :, 0], -kf, kf)
+    uy = jnp.clip(warp_ref[0, :, :, 1], -kf, kf)
     uz = warp_ref[0, :, :, 2]
     nz = jnp.floor(uz)
     fz = uz - nz
@@ -64,15 +80,17 @@ def _resample3d_kernel(s_ref, warp_ref, out_ref, *, k: int):
     # Corner weights with out-of-band reads (z) redirected to the +1 fill.
     w0 = jnp.where((z0 >= 0) & (z0 < _LANE), 1.0 - fz, 0.0)
     w1 = jnp.where((z0 + 1 >= 0) & (z0 + 1 < _LANE), fz, 0.0)
-    kf = jnp.float32(k)
+    # Static-shift tent planes (no dynamic scalars in vector math — the 7.6
+    # µs/op scalar→vector stall; see module docstring).
+    for c in range(n):
+        tx_ref[c] = _tent(ux - (float(c) - kf))
+        ty_ref[c] = _tent(uy - (float(c) - kf))
 
     def body(t, acc):
         cy = t // n
         cx = t - cy * n
-        rows = s_ref[cy, cx]  # (YB, 128): dynamic leading-dim index, aligned
-        w = _tent(uy - (cy.astype(jnp.float32) - kf)) * _tent(
-            ux - (cx.astype(jnp.float32) - kf)
-        )
+        rows = s_ref[cy, r + cx]  # dynamic leading-dim indices: vreg-speed
+        w = ty_ref[cy] * tx_ref[cx]
         g = w0 * jnp.take_along_axis(rows, z0c, axis=1) + w1 * jnp.take_along_axis(
             rows, z1c, axis=1
         )
@@ -80,6 +98,13 @@ def _resample3d_kernel(s_ref, warp_ref, out_ref, *, k: int):
 
     acc0 = (1.0 - w0 - w1) * TRUNCATION_FILL  # tent weights sum to 1
     out_ref[0] = jax.lax.fori_loop(0, n * n, body, acc0)
+
+
+def _pick_block(size: int, candidates) -> int:
+    for c in candidates:
+        if c <= size and size % c == 0:
+            return c
+    return 0
 
 
 @functools.partial(
@@ -124,8 +149,10 @@ def warp_field_pallas(
     yb = min(y_block, y_size)
     if y_size % yb:
         raise ValueError(f"y extent {y_size} not divisible by y_block {yb}")
+    xb = _pick_block(x_size, (128, 64, 32, 16, 8, 4, 2, 1))
+    if not xb:
+        raise ValueError(f"x extent {x_size} has no supported chunking")
 
-    wc = jnp.concatenate([jnp.clip(warp[..., :2], -k, k), warp[..., 2:]], axis=-1)
     # Pad x/y by (k, k+1) with the truncation fill; padded row (i + c) along
     # x (or a y-copy shifted by c) = original row (i + c - k).
     padded = jnp.pad(
@@ -133,30 +160,49 @@ def warp_field_pallas(
     )
     # Stacked y-shifted copies: S[cy, x, y, z] = original[x - k, y + cy - k, z].
     stacked = jnp.stack([padded[:, cy : cy + y_size, :] for cy in range(n)])
+    # Pad x up to a whole number of chunks (window size xb + n - 1, aligned
+    # starts every xb).
+    xpad_have = stacked.shape[1]  # x_size + n - 1
+    xpad_need = ((x_size + xb - 1) // xb) * xb + n - 1
+    if xpad_need > xpad_have:
+        stacked = jnp.pad(
+            stacked,
+            ((0, 0), (0, xpad_need - xpad_have), (0, 0), (0, 0)),
+            constant_values=TRUNCATION_FILL,
+        )
 
-    kern = functools.partial(_resample3d_kernel, k=k)
+    kern = functools.partial(_resample3d_kernel, k=k, xb=xb)
+    win = xb + n - 1
     return pl.pallas_call(
         kern,
-        grid=(x_size, y_size // yb),
+        grid=(y_size // yb, x_size),  # x fastest: stacked window DMAs rarely
         in_specs=[
             pl.BlockSpec(
-                (pl.Element(n), pl.Element(n), pl.Element(yb), pl.Element(_LANE)),
-                lambda i, j, yb=yb: (0, i, j * yb, 0),
+                # All-Element block: x window start advances by xb every xb
+                # steps (so the big window DMAs once per chunk, not per step);
+                # y/lane starts stay tile-aligned as Element requires.
+                (pl.Element(n), pl.Element(win), pl.Element(yb), pl.Element(_LANE)),
+                lambda j, i, xb=xb, yb=yb: (0, (i // xb) * xb, j * yb, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, yb, _LANE, 3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+                (1, yb, _LANE, 3), lambda j, i: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, yb, _LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, yb, _LANE), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(field.shape, field.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, yb, _LANE), jnp.float32),
+            pltpu.VMEM((n, yb, _LANE), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(stacked, wc)
+    )(stacked, warp)
 
 
 def pallas_resample_supported(field: jnp.ndarray) -> bool:
