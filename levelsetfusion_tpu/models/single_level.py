@@ -54,7 +54,8 @@ class _LoopState(NamedTuple):
     telemetry: SolveTelemetry
 
 
-def _solver_step(canonical, live, warp, params: SolverParams, kernel):
+def _solver_step(canonical, live, warp, params: SolverParams, kernel,
+                 prepared_live=None):
     res = warp_energy_gradient(
         canonical,
         live,
@@ -68,6 +69,7 @@ def _solver_step(canonical, live, warp, params: SolverParams, kernel):
         sobolev_kernel=kernel,
         use_pallas_resample=params.use_pallas_resample,
         pallas_max_displacement=params.pallas_max_displacement,
+        prepared_live=prepared_live,
     )
     return res
 
@@ -102,6 +104,18 @@ def solve_single_level(
         else None
     )
 
+    # Hoist the loop-invariant Pallas resample prep (stacked y-shifted copies
+    # of the live field) out of the while_loop — XLA does not do this LICM.
+    prepared_live = None
+    if params.use_pallas_resample and d == 3:
+        from levelsetfusion_tpu.ops.pallas.resample import (
+            pallas_resample_supported,
+            prepare_field,
+        )
+
+        if pallas_resample_supported(live):
+            prepared_live = prepare_field(live, params.pallas_max_displacement)
+
     n = params.max_iterations
     zeros = jnp.zeros((n,), canonical.dtype)
     init = _LoopState(
@@ -119,7 +133,9 @@ def solve_single_level(
         )
 
     def body(state: _LoopState):
-        res = _solver_step(canonical, live, state.warp, params, kernel)
+        res = _solver_step(
+            canonical, live, state.warp, params, kernel, prepared_live
+        )
         update = -state.learning_rate * res.gradient
         new_warp = state.warp + update
         update_len = jnp.sqrt(jnp.sum(update * update, axis=-1))

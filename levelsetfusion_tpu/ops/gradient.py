@@ -56,13 +56,30 @@ def warp_energy_gradient(
     sobolev_kernel: jnp.ndarray | None = None,
     use_pallas_resample: bool = False,
     pallas_max_displacement: int = 2,
+    prepared_live: jnp.ndarray | None = None,
 ) -> GradientResult:
-    """Combined energy gradient at the current warp. Weights/modes are static."""
+    """Combined energy gradient at the current warp. Weights/modes are static.
+
+    ``prepared_live``: optional ``pallas.resample.prepare_field(live)`` result
+    — solvers pass it to skip the loop-invariant stack rebuild each iteration.
+    """
     if use_pallas_resample:
-        from levelsetfusion_tpu.ops.pallas.resample import warp_field_fast
+        from levelsetfusion_tpu.ops.pallas.resample import (
+            pick_y_block,
+            warp_field_fast,
+            warp_field_pallas_prepared,
+        )
         from levelsetfusion_tpu.ops.derivatives import gradient as _grad
 
-        warped = warp_field_fast(live, warp, pallas_max_displacement)
+        if prepared_live is not None:
+            warped = warp_field_pallas_prepared(
+                prepared_live,
+                warp,
+                pallas_max_displacement,
+                y_block=pick_y_block(live.shape),
+            )
+        else:
+            warped = warp_field_fast(live, warp, pallas_max_displacement)
         warped_grad = _grad(warped)
     else:
         warped, warped_grad = interpolation.warp_field_with_gradient(live, warp)

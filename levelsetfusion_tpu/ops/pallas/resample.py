@@ -69,9 +69,11 @@ def _resample3d_kernel(s_ref, warp_ref, out_ref, tx_ref, ty_ref, *, k: int, xb: 
     r = i - (i // xb) * xb  # x row within the current x-chunk window
     kf = float(k)
 
-    ux = jnp.clip(warp_ref[0, :, :, 0], -kf, kf)
-    uy = jnp.clip(warp_ref[0, :, :, 1], -kf, kf)
-    uz = warp_ref[0, :, :, 2]
+    # warp arrives component-major (3, x, y, z): a trailing component dim
+    # would be lane-padded 3 -> 128 in VMEM (42x window DMA inflation).
+    ux = jnp.clip(warp_ref[0, 0], -kf, kf)
+    uy = jnp.clip(warp_ref[1, 0], -kf, kf)
+    uz = warp_ref[2, 0]
     nz = jnp.floor(uz)
     fz = uz - nz
     z0 = jax.lax.broadcasted_iota(jnp.int32, uz.shape, 1) + nz.astype(jnp.int32)
@@ -86,9 +88,22 @@ def _resample3d_kernel(s_ref, warp_ref, out_ref, tx_ref, ty_ref, *, k: int, xb: 
         tx_ref[c] = _tent(ux - (float(c) - kf))
         ty_ref[c] = _tent(uy - (float(c) - kf))
 
+    # Active-shift ranges: tent(u − (c − k)) is nonzero only for the two
+    # shifts bracketing u, so per block only shifts in
+    # [floor(min u)+k, floor(max u)+k+1] contribute — every skipped (cy, cx)
+    # pair has an exactly-zero weight plane. Smooth solver warps activate
+    # ~2×2 of the (2K+2)² pairs; the loop bounds are dynamic scalars, which
+    # is fine (they never enter vector math).
+    lo_x = jnp.floor(jnp.min(ux)).astype(jnp.int32) + k
+    hi_x = jnp.floor(jnp.max(ux)).astype(jnp.int32) + k + 1
+    lo_y = jnp.floor(jnp.min(uy)).astype(jnp.int32) + k
+    hi_y = jnp.floor(jnp.max(uy)).astype(jnp.int32) + k + 1
+    cnt_x = hi_x - lo_x + 1
+    cnt_y = hi_y - lo_y + 1
+
     def body(t, acc):
-        cy = t // n
-        cx = t - cy * n
+        cy = lo_y + t // cnt_x
+        cx = lo_x + (t - (t // cnt_x) * cnt_x)
         rows = s_ref[cy, r + cx]  # dynamic leading-dim indices: vreg-speed
         w = ty_ref[cy] * tx_ref[cx]
         g = w0 * jnp.take_along_axis(rows, z0c, axis=1) + w1 * jnp.take_along_axis(
@@ -97,7 +112,7 @@ def _resample3d_kernel(s_ref, warp_ref, out_ref, tx_ref, ty_ref, *, k: int, xb: 
         return acc + w * g
 
     acc0 = (1.0 - w0 - w1) * TRUNCATION_FILL  # tent weights sum to 1
-    out_ref[0] = jax.lax.fori_loop(0, n * n, body, acc0)
+    out_ref[0] = jax.lax.fori_loop(0, cnt_y * cnt_x, body, acc0)
 
 
 def _pick_block(size: int, candidates) -> int:
@@ -105,6 +120,100 @@ def _pick_block(size: int, candidates) -> int:
         if c <= size and size % c == 0:
             return c
     return 0
+
+
+def _chunking(x_size: int) -> int:
+    xb = _pick_block(x_size, (128, 64, 32, 16, 8, 4, 2, 1))
+    if not xb:
+        raise ValueError(f"x extent {x_size} has no supported chunking")
+    return xb
+
+
+def prepare_field(
+    field: jnp.ndarray, max_displacement: int = MAX_DISPLACEMENT
+) -> jnp.ndarray:
+    """Build the stacked y-shifted copies the kernel consumes.
+
+    Loop-invariant w.r.t. the warp — solvers call this ONCE per solve and
+    reuse the result every iteration (the rebuild costs ~3.7 ms/iter at 128³
+    otherwise; XLA does not hoist it out of ``while_loop``).
+    """
+    k = max_displacement
+    n = 2 * k + 2
+    assert field.ndim == 3, field.shape
+    x_size, y_size, _ = field.shape
+    xb = _chunking(x_size)
+    # Pad x/y by (k, k+1) with the truncation fill; padded row (i + c) along
+    # x (or a y-copy shifted by c) = original row (i + c - k).
+    padded = jnp.pad(
+        field, ((k, k + 1), (k, k + 1), (0, 0)), constant_values=TRUNCATION_FILL
+    )
+    # Stacked y-shifted copies: S[cy, x, y, z] = original[x - k, y + cy - k, z].
+    stacked = jnp.stack([padded[:, cy : cy + y_size, :] for cy in range(n)])
+    # Pad x up to a whole number of chunks (window size xb + n - 1, aligned
+    # starts every xb).
+    xpad_have = stacked.shape[1]  # x_size + n - 1
+    xpad_need = ((x_size + xb - 1) // xb) * xb + n - 1
+    if xpad_need > xpad_have:
+        stacked = jnp.pad(
+            stacked,
+            ((0, 0), (0, xpad_need - xpad_have), (0, 0), (0, 0)),
+            constant_values=TRUNCATION_FILL,
+        )
+    return stacked
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_displacement", "y_block", "interpret")
+)
+def warp_field_pallas_prepared(
+    stacked: jnp.ndarray,
+    warp: jnp.ndarray,
+    max_displacement: int = MAX_DISPLACEMENT,
+    y_block: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Resample from a ``prepare_field`` result (3D only)."""
+    k = max_displacement
+    n = 2 * k + 2
+    x_size, y_size, _ = warp.shape[:3]
+    yb = min(y_block, y_size)
+    if y_size % yb:
+        raise ValueError(f"y extent {y_size} not divisible by y_block {yb}")
+    xb = _chunking(x_size)
+
+    kern = functools.partial(_resample3d_kernel, k=k, xb=xb)
+    win = xb + n - 1
+    return pl.pallas_call(
+        kern,
+        grid=(y_size // yb, x_size),  # x fastest: stacked window DMAs rarely
+        in_specs=[
+            pl.BlockSpec(
+                # All-Element block: x window start advances by xb every xb
+                # steps (so the big window DMAs once per chunk, not per step);
+                # y/lane starts stay tile-aligned as Element requires.
+                (pl.Element(n), pl.Element(win), pl.Element(yb), pl.Element(_LANE)),
+                lambda j, i, xb=xb, yb=yb: (0, (i // xb) * xb, j * yb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 1, yb, _LANE), lambda j, i: (0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, yb, _LANE), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((x_size, y_size, _LANE), stacked.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, yb, _LANE), jnp.float32),
+            pltpu.VMEM((n, yb, _LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(stacked, jnp.moveaxis(warp, -1, 0))
 
 
 @functools.partial(
@@ -120,9 +229,9 @@ def warp_field_pallas(
     """Pallas trilinear/bilinear warp resample (see module docstring).
 
     Requires the trailing spatial extent to be exactly 128 (vreg lane width).
+    One-shot convenience over ``prepare_field`` + ``warp_field_pallas_prepared``
+    — solvers should prepare once per solve instead.
     """
-    k = max_displacement
-    n = 2 * k + 2
     d = field.ndim
     if field.shape[-1] != _LANE:
         raise ValueError(
@@ -144,65 +253,14 @@ def warp_field_pallas(
         )
         return out[:, 0, :]
     assert d == 3, field.shape
-
-    x_size, y_size, _ = field.shape
-    yb = min(y_block, y_size)
-    if y_size % yb:
-        raise ValueError(f"y extent {y_size} not divisible by y_block {yb}")
-    xb = _pick_block(x_size, (128, 64, 32, 16, 8, 4, 2, 1))
-    if not xb:
-        raise ValueError(f"x extent {x_size} has no supported chunking")
-
-    # Pad x/y by (k, k+1) with the truncation fill; padded row (i + c) along
-    # x (or a y-copy shifted by c) = original row (i + c - k).
-    padded = jnp.pad(
-        field, ((k, k + 1), (k, k + 1), (0, 0)), constant_values=TRUNCATION_FILL
-    )
-    # Stacked y-shifted copies: S[cy, x, y, z] = original[x - k, y + cy - k, z].
-    stacked = jnp.stack([padded[:, cy : cy + y_size, :] for cy in range(n)])
-    # Pad x up to a whole number of chunks (window size xb + n - 1, aligned
-    # starts every xb).
-    xpad_have = stacked.shape[1]  # x_size + n - 1
-    xpad_need = ((x_size + xb - 1) // xb) * xb + n - 1
-    if xpad_need > xpad_have:
-        stacked = jnp.pad(
-            stacked,
-            ((0, 0), (0, xpad_need - xpad_have), (0, 0), (0, 0)),
-            constant_values=TRUNCATION_FILL,
-        )
-
-    kern = functools.partial(_resample3d_kernel, k=k, xb=xb)
-    win = xb + n - 1
-    return pl.pallas_call(
-        kern,
-        grid=(y_size // yb, x_size),  # x fastest: stacked window DMAs rarely
-        in_specs=[
-            pl.BlockSpec(
-                # All-Element block: x window start advances by xb every xb
-                # steps (so the big window DMAs once per chunk, not per step);
-                # y/lane starts stay tile-aligned as Element requires.
-                (pl.Element(n), pl.Element(win), pl.Element(yb), pl.Element(_LANE)),
-                lambda j, i, xb=xb, yb=yb: (0, (i // xb) * xb, j * yb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, yb, _LANE, 3), lambda j, i: (i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, yb, _LANE), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(field.shape, field.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((n, yb, _LANE), jnp.float32),
-            pltpu.VMEM((n, yb, _LANE), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
-        ),
+    stacked = prepare_field(field, max_displacement)
+    return warp_field_pallas_prepared(
+        stacked,
+        warp,
+        max_displacement=max_displacement,
+        y_block=y_block,
         interpret=interpret,
-    )(stacked, warp)
+    )
 
 
 def pallas_resample_supported(field: jnp.ndarray) -> bool:
@@ -214,6 +272,12 @@ def pallas_resample_supported(field: jnp.ndarray) -> bool:
     )
 
 
+def pick_y_block(shape) -> int:
+    if len(shape) == 2:
+        return 1
+    return 64 if shape[1] % 64 == 0 else (32 if shape[1] % 32 == 0 else 8)
+
+
 def warp_field_fast(
     field: jnp.ndarray,
     warp: jnp.ndarray,
@@ -222,10 +286,7 @@ def warp_field_fast(
     """Dispatch: Pallas kernel when supported (TPU, lane-width trailing dim),
     golden jnp path otherwise."""
     if pallas_resample_supported(field):
-        yb = 64 if field.ndim == 3 else 1
-        if field.ndim == 3:
-            yb = 64 if field.shape[1] % 64 == 0 else (
-                32 if field.shape[1] % 32 == 0 else 8
-            )
-        return warp_field_pallas(field, warp, max_displacement, y_block=yb)
+        return warp_field_pallas(
+            field, warp, max_displacement, y_block=pick_y_block(field.shape)
+        )
     return warp_field(field, warp)

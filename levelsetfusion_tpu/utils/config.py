@@ -115,6 +115,9 @@ PRESETS: Dict[str, ExperimentConfig] = {
             smoothing_mode=SmoothingMode.KILLING,
             level_set_term_weight=0.1,
             sobolev_smoothing=True,
+            # Shape-gated dispatch: engages the Pallas kernel on TPU (trailing
+            # extent 128), golden jnp path elsewhere.
+            use_pallas_resample=True,
         ),
     ),
     # 4. 3D multi-frame frame-to-canonical fusion, Killing regularization.

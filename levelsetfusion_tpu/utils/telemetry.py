@@ -12,6 +12,7 @@ import dataclasses
 import json
 import os
 import sys
+import time
 from typing import Any, Dict, List
 
 import numpy as np
@@ -65,6 +66,7 @@ class RunLogger:
         self._csv.writeheader()
         self._events = open(os.path.join(out_dir, "events.jsonl"), "w")
         self.summary: Dict[str, Any] = {}
+        self._start = time.perf_counter()
 
     def log_solve(self, result, level: int = 0, frame: int = 0) -> None:
         """Log a SolveResult's full telemetry."""
@@ -105,6 +107,9 @@ class RunLogger:
 
     def finish(self, **summary) -> Dict[str, Any]:
         self.summary.update(summary)
+        self.summary.setdefault(
+            "wall_seconds", round(time.perf_counter() - self._start, 3)
+        )
         with open(os.path.join(self.out_dir, "summary.json"), "w") as f:
             json.dump(self.summary, f, indent=2, default=_json_default)
         self._csv_file.close()
