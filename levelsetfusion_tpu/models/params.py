@@ -41,6 +41,9 @@ class SolverParams:
     # (clamped beyond); requires trailing spatial extent 128. Ignored off-TPU.
     use_pallas_resample: bool = False
     pallas_max_displacement: int = 2
+    # Test hook: run the Pallas kernel in interpret mode (works on CPU) and
+    # skip the TPU platform gate. Part of the static jit key.
+    pallas_interpret: bool = False
 
     def replace(self, **kw) -> "SolverParams":
         return dataclasses.replace(self, **kw)

@@ -70,6 +70,7 @@ def _solver_step(canonical, live, warp, params: SolverParams, kernel,
         use_pallas_resample=params.use_pallas_resample,
         pallas_max_displacement=params.pallas_max_displacement,
         prepared_live=prepared_live,
+        pallas_interpret=params.pallas_interpret,
     )
     return res
 
@@ -113,7 +114,7 @@ def solve_single_level(
             prepare_field,
         )
 
-        if pallas_resample_supported(live):
+        if pallas_resample_supported(live, params.pallas_interpret):
             prepared_live = prepare_field(live, params.pallas_max_displacement)
 
     n = params.max_iterations

@@ -57,6 +57,7 @@ def warp_energy_gradient(
     use_pallas_resample: bool = False,
     pallas_max_displacement: int = 2,
     prepared_live: jnp.ndarray | None = None,
+    pallas_interpret: bool = False,
 ) -> GradientResult:
     """Combined energy gradient at the current warp. Weights/modes are static.
 
@@ -77,9 +78,12 @@ def warp_energy_gradient(
                 warp,
                 pallas_max_displacement,
                 y_block=pick_y_block(live.shape),
+                interpret=pallas_interpret,
             )
         else:
-            warped = warp_field_fast(live, warp, pallas_max_displacement)
+            warped = warp_field_fast(
+                live, warp, pallas_max_displacement, interpret=pallas_interpret
+            )
         warped_grad = _grad(warped)
     else:
         warped, warped_grad = interpolation.warp_field_with_gradient(live, warp)

@@ -115,6 +115,106 @@ def _resample3d_kernel(s_ref, warp_ref, out_ref, tx_ref, ty_ref, *, k: int, xb: 
     out_ref[0] = jax.lax.fori_loop(0, cnt_y * cnt_x, body, acc0)
 
 
+def _resample3d_kernel_mz(
+    s_ref, warp_ref, out_ref, tx_ref, ty_ref, *, k: int, xb: int, m: int
+):
+    """Multi-slab z variant (z extent = m·128, m ≥ 2). Differences from the
+    single-slab kernel: z displacements are **clamped to ±K** like x/y (the
+    documented fast-path semantics for large volumes), and each output slab
+    gathers from a ``ws``-slab window of the stacked array. The window shift
+    is made STATIC per branch (zb==0 / interior / zb==m−1 via lax.cond) so no
+    dynamic scalar ever enters vector math (the 7.6 µs/op stall)."""
+    n = 2 * k + 2
+    ws = min(m, 3)
+    zb = pl.program_id(0)
+    i = pl.program_id(2)
+    r = i - (i // xb) * xb
+    kf = float(k)
+
+    ux = jnp.clip(warp_ref[0, 0], -kf, kf)
+    uy = jnp.clip(warp_ref[1, 0], -kf, kf)
+    uz = jnp.clip(warp_ref[2, 0], -kf, kf)
+    nz = jnp.floor(uz)
+    fz = uz - nz
+    zrel = jax.lax.broadcasted_iota(jnp.int32, uz.shape, 1) + nz.astype(jnp.int32)
+
+    for c in range(n):
+        tx_ref[c] = _tent(ux - (float(c) - kf))
+        ty_ref[c] = _tent(uy - (float(c) - kf))
+
+    lo_x = jnp.floor(jnp.min(ux)).astype(jnp.int32) + k
+    hi_x = jnp.floor(jnp.max(ux)).astype(jnp.int32) + k + 1
+    lo_y = jnp.floor(jnp.min(uy)).astype(jnp.int32) + k
+    hi_y = jnp.floor(jnp.max(uy)).astype(jnp.int32) + k + 1
+    cnt_x = hi_x - lo_x + 1
+    cnt_y = hi_y - lo_y + 1
+
+    def variant(shift: int, first: bool, last: bool):
+        # All scalars static inside a branch. Window index of corner 0:
+        z0 = zrel + shift  # static add
+        z1 = z0 + 1
+        # In-volume weights: global z = window z + zs·128; the only global
+        # edges reachable (|uz| ≤ K) are at the first/last slab.
+        ok0 = jnp.ones_like(fz, dtype=bool)
+        ok1 = ok0
+        if first:
+            ok0 = z0 >= 0
+            ok1 = z1 >= 0
+        if last:
+            ok0 = ok0 & (z0 < ws * _LANE)
+            ok1 = ok1 & (z1 < ws * _LANE)
+        w0 = jnp.where(ok0, 1.0 - fz, 0.0)
+        w1 = jnp.where(ok1, fz, 0.0)
+        # Slabs statically reachable from [shift − k, shift + 127 + k + 1].
+        slabs = [
+            s for s in range(ws)
+            if shift - k <= (s + 1) * _LANE - 1 and shift + _LANE + k >= s * _LANE
+        ]
+
+        def gather_window(rows, zi):
+            val = None
+            for s in slabs:
+                g = jnp.take_along_axis(
+                    rows[:, s * _LANE : (s + 1) * _LANE],
+                    jnp.clip(zi - s * _LANE, 0, _LANE - 1),
+                    axis=1,
+                )
+                if val is None:
+                    val = g
+                else:
+                    val = jnp.where(zi >= s * _LANE, g, val)
+            return val
+
+        def body(t, acc):
+            cy = lo_y + t // cnt_x
+            cx = lo_x + (t - (t // cnt_x) * cnt_x)
+            rows = s_ref[cy, r + cx]
+            w = ty_ref[cy] * tx_ref[cx]
+            g = w0 * gather_window(rows, z0) + w1 * gather_window(rows, z1)
+            return acc + w * g
+
+        acc0 = (1.0 - w0 - w1) * TRUNCATION_FILL
+        return jax.lax.fori_loop(0, cnt_y * cnt_x, body, acc0)
+
+    if m == 2:
+        out = jax.lax.cond(
+            zb == 0,
+            lambda: variant(0, True, False),
+            lambda: variant(_LANE, False, True),
+        )
+    else:
+        out = jax.lax.cond(
+            zb == 0,
+            lambda: variant(0, True, False),
+            lambda: jax.lax.cond(
+                zb == m - 1,
+                lambda: variant(2 * _LANE, False, True),
+                lambda: variant(_LANE, False, False),
+            ),
+        )
+    out_ref[0] = out
+
+
 def _pick_block(size: int, candidates) -> int:
     for c in candidates:
         if c <= size and size % c == 0:
@@ -122,8 +222,10 @@ def _pick_block(size: int, candidates) -> int:
     return 0
 
 
-def _chunking(x_size: int) -> int:
-    xb = _pick_block(x_size, (128, 64, 32, 16, 8, 4, 2, 1))
+def _chunking(x_size: int, m: int = 1) -> int:
+    # Multi-slab windows are ws=3 lanes wide — halve the x chunk to fit VMEM.
+    cands = (128, 64, 32, 16, 8, 4, 2, 1) if m == 1 else (64, 32, 16, 8, 4, 2, 1)
+    xb = _pick_block(x_size, cands)
     if not xb:
         raise ValueError(f"x extent {x_size} has no supported chunking")
     return xb
@@ -141,8 +243,8 @@ def prepare_field(
     k = max_displacement
     n = 2 * k + 2
     assert field.ndim == 3, field.shape
-    x_size, y_size, _ = field.shape
-    xb = _chunking(x_size)
+    x_size, y_size, z_size = field.shape
+    xb = _chunking(x_size, z_size // _LANE)
     # Pad x/y by (k, k+1) with the truncation fill; padded row (i + c) along
     # x (or a y-copy shifted by c) = original row (i + c - k).
     padded = jnp.pad(
@@ -173,38 +275,73 @@ def warp_field_pallas_prepared(
     y_block: int = 64,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Resample from a ``prepare_field`` result (3D only)."""
+    """Resample from a ``prepare_field`` result (3D only).
+
+    z extent must be a multiple of 128. For z == 128 per-voxel z
+    displacements are unbounded; for larger volumes (m = z/128 slabs > 1)
+    z is clamped to ±K like x/y (documented fast-path semantics).
+    """
     k = max_displacement
     n = 2 * k + 2
-    x_size, y_size, _ = warp.shape[:3]
+    x_size, y_size, z_size = warp.shape[:3]
+    if z_size % _LANE:
+        raise ValueError(f"z extent {z_size} not a multiple of {_LANE}")
+    m = z_size // _LANE
     yb = min(y_block, y_size)
     if y_size % yb:
         raise ValueError(f"y extent {y_size} not divisible by y_block {yb}")
-    xb = _chunking(x_size)
-
-    kern = functools.partial(_resample3d_kernel, k=k, xb=xb)
+    xb = _chunking(x_size, m)
     win = xb + n - 1
+    ws = min(m, 3)
+    warp_cm = jnp.moveaxis(warp, -1, 0)
+
+    if m == 1:
+        kern = functools.partial(_resample3d_kernel, k=k, xb=xb)
+        grid = (y_size // yb, x_size)  # x fastest: stacked window DMAs rarely
+        s_spec = pl.BlockSpec(
+            # All-Element block: x window start advances by xb every xb
+            # steps (so the big window DMAs once per chunk, not per step);
+            # y/lane starts stay tile-aligned as Element requires.
+            (pl.Element(n), pl.Element(win), pl.Element(yb), pl.Element(_LANE)),
+            lambda j, i, xb=xb, yb=yb: (0, (i // xb) * xb, j * yb, 0),
+            memory_space=pltpu.VMEM,
+        )
+        w_spec = pl.BlockSpec(
+            (3, 1, yb, _LANE), lambda j, i: (0, i, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        o_spec = pl.BlockSpec(
+            (1, yb, _LANE), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        kern = functools.partial(_resample3d_kernel_mz, k=k, xb=xb, m=m)
+        grid = (m, y_size // yb, x_size)  # z-slab slowest
+        s_spec = pl.BlockSpec(
+            (pl.Element(n), pl.Element(win), pl.Element(yb),
+             pl.Element(ws * _LANE)),
+            lambda zb, j, i, xb=xb, yb=yb, m=m, ws=ws: (
+                0,
+                (i // xb) * xb,
+                j * yb,
+                jnp.clip(zb - 1, 0, m - ws) * _LANE,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        w_spec = pl.BlockSpec(
+            (3, 1, yb, _LANE), lambda zb, j, i: (0, i, j, zb),
+            memory_space=pltpu.VMEM,
+        )
+        o_spec = pl.BlockSpec(
+            (1, yb, _LANE), lambda zb, j, i: (i, j, zb),
+            memory_space=pltpu.VMEM,
+        )
+
     return pl.pallas_call(
         kern,
-        grid=(y_size // yb, x_size),  # x fastest: stacked window DMAs rarely
-        in_specs=[
-            pl.BlockSpec(
-                # All-Element block: x window start advances by xb every xb
-                # steps (so the big window DMAs once per chunk, not per step);
-                # y/lane starts stay tile-aligned as Element requires.
-                (pl.Element(n), pl.Element(win), pl.Element(yb), pl.Element(_LANE)),
-                lambda j, i, xb=xb, yb=yb: (0, (i // xb) * xb, j * yb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (3, 1, yb, _LANE), lambda j, i: (0, i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, yb, _LANE), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((x_size, y_size, _LANE), stacked.dtype),
+        grid=grid,
+        in_specs=[s_spec, w_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((x_size, y_size, z_size), stacked.dtype),
         scratch_shapes=[
             pltpu.VMEM((n, yb, _LANE), jnp.float32),
             pltpu.VMEM((n, yb, _LANE), jnp.float32),
@@ -213,7 +350,7 @@ def warp_field_pallas_prepared(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(stacked, jnp.moveaxis(warp, -1, 0))
+    )(stacked, warp_cm)
 
 
 @functools.partial(
@@ -233,9 +370,10 @@ def warp_field_pallas(
     — solvers should prepare once per solve instead.
     """
     d = field.ndim
-    if field.shape[-1] != _LANE:
+    if (field.shape[-1] != _LANE) if d == 2 else (field.shape[-1] % _LANE):
         raise ValueError(
-            f"pallas resample needs trailing extent {_LANE}, got {field.shape}"
+            f"pallas resample needs trailing extent {_LANE} (2D) or a "
+            f"multiple of it (3D), got {field.shape}"
         )
     if d == 2:
         # Treat a 2D (X, Z) field as (X, Y=1, Z) with zero y-displacement.
@@ -263,12 +401,13 @@ def warp_field_pallas(
     )
 
 
-def pallas_resample_supported(field: jnp.ndarray) -> bool:
-    return (
-        jax.devices()[0].platform == "tpu"
-        and field.ndim in (2, 3)
-        and field.shape[-1] == _LANE
-        and (field.ndim == 2 or field.shape[1] % 8 == 0)
+def pallas_resample_supported(field: jnp.ndarray, interpret: bool = False) -> bool:
+    if not (interpret or jax.devices()[0].platform == "tpu"):
+        return False
+    return field.ndim in (2, 3) and (
+        field.shape[-1] == _LANE
+        if field.ndim == 2
+        else (field.shape[-1] % _LANE == 0 and field.shape[1] % 8 == 0)
     )
 
 
@@ -282,11 +421,13 @@ def warp_field_fast(
     field: jnp.ndarray,
     warp: jnp.ndarray,
     max_displacement: int = MAX_DISPLACEMENT,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Dispatch: Pallas kernel when supported (TPU, lane-width trailing dim),
     golden jnp path otherwise."""
-    if pallas_resample_supported(field):
+    if pallas_resample_supported(field, interpret):
         return warp_field_pallas(
-            field, warp, max_displacement, y_block=pick_y_block(field.shape)
+            field, warp, max_displacement, y_block=pick_y_block(field.shape),
+            interpret=interpret,
         )
     return warp_field(field, warp)

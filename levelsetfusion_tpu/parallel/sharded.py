@@ -80,6 +80,7 @@ def _block_gradient(
     axis_name: str,
     nd: int,
     live_halo: int,
+    prepared_live=None,
 ):
     """Combined energy gradient + energies on one voxel block.
 
@@ -95,17 +96,44 @@ def _block_gradient(
     # ---- warped live on block + 2 ghost rows --------------------------------
     warp_ext = halo_exchange(warp, 2, axis_name, nd, fill="replicate")
     m = n + 4
-    shape_ext = (m,) + canon_blk.shape[1:]
-    pos0 = (
-        start
-        - 2
-        + lax.broadcasted_iota(jnp.int32, shape_ext, 0)
-    ).astype(warp.dtype)
-    coords = [pos0 - (start - live_halo) + warp_ext[..., 0]]
-    for ax in range(1, d):
-        ident = lax.broadcasted_iota(jnp.int32, shape_ext, ax).astype(warp.dtype)
-        coords.append(ident + warp_ext[..., ax])
-    warped_ext = sample_at(live_ext, jnp.stack(coords, axis=-1))
+    if prepared_live is not None:
+        # Per-shard Pallas resample from the haloed live copy (see
+        # solve_single_level_sharded): kernel output row i = field row
+        # i + ux, field starts at ext row live_halo - 2 - K, so warped_ext
+        # row j sits at kernel row j + K. Same ±K clamp semantics as the
+        # single-device Pallas path.
+        from levelsetfusion_tpu.ops.pallas.resample import (
+            pick_y_block,
+            warp_field_pallas_prepared,
+        )
+
+        kk = params.pallas_max_displacement
+        stacked, xe = prepared_live  # (prepare_field result, kernel x extent)
+        warp_k = jnp.pad(
+            warp_ext, ((kk, xe - m - kk),) + ((0, 0),) * (warp_ext.ndim - 1)
+        )
+        out = warp_field_pallas_prepared(
+            stacked,
+            warp_k,
+            kk,
+            y_block=pick_y_block(warp_k.shape[:-1]),
+            interpret=params.pallas_interpret,
+        )
+        warped_ext = out[kk : kk + m]
+    else:
+        shape_ext = (m,) + canon_blk.shape[1:]
+        pos0 = (
+            start
+            - 2
+            + lax.broadcasted_iota(jnp.int32, shape_ext, 0)
+        ).astype(warp.dtype)
+        coords = [pos0 - (start - live_halo) + warp_ext[..., 0]]
+        for ax in range(1, d):
+            ident = lax.broadcasted_iota(jnp.int32, shape_ext, ax).astype(
+                warp.dtype
+            )
+            coords.append(ident + warp_ext[..., ax])
+        warped_ext = sample_at(live_ext, jnp.stack(coords, axis=-1))
     warped_ext = _replicate_global_ghosts(warped_ext, 2, axis_name, nd)
     warped = warped_ext[2:-2]
 
@@ -246,10 +274,41 @@ def solve_single_level_sharded(
     n_iter = params.max_iterations
     num_voxels = float(canonical.size)
 
+    # Per-shard Pallas fast path (BASELINE config 5 on real chips): gate
+    # statically on shape/halo support; interpret-mode enables CPU testing.
+    kk = params.pallas_max_displacement
+    use_pallas = (
+        params.use_pallas_resample
+        and d == 3
+        and live_halo >= kk + 3
+        and canonical.shape[1] % 8 == 0
+        and canonical.shape[2] % 128 == 0
+        and (
+            params.pallas_interpret
+            or jax.devices()[0].platform == "tpu"
+        )
+    )
+    xe_raw = n_local + 4 + 2 * kk + 1
+    pallas_xe = ((xe_raw + 7) // 8) * 8
+
     def run(canon_blk, live_blk, warp0_blk):
         live_ext = halo_exchange(
             live_blk, live_halo, axis_name, nd, fill="truncation"
         )
+        prepared = None
+        if use_pallas:
+            from levelsetfusion_tpu.ops.interpolation import TRUNCATION_FILL
+            from levelsetfusion_tpu.ops.pallas.resample import prepare_field
+
+            field_x = lax.dynamic_slice_in_dim(
+                live_ext, live_halo - 2 - kk, xe_raw, axis=0
+            )
+            field_x = jnp.pad(
+                field_x,
+                ((0, pallas_xe - xe_raw), (0, 0), (0, 0)),
+                constant_values=TRUNCATION_FILL,
+            )
+            prepared = (prepare_field(field_x, kk), pallas_xe)
 
         zeros = jnp.zeros((n_iter,), canon_blk.dtype)
         init = (
@@ -268,7 +327,8 @@ def solve_single_level_sharded(
         def body(state):
             warp, it, _, rate, prev_e, tel = state
             grad, (e_data, e_smooth, e_ls) = _block_gradient(
-                canon_blk, live_ext, warp, params, kernel, axis_name, nd, live_halo
+                canon_blk, live_ext, warp, params, kernel, axis_name, nd,
+                live_halo, prepared,
             )
             update = -rate * grad
             new_warp = warp + update

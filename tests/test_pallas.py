@@ -72,3 +72,34 @@ def test_resample_k1_parity(rng):
     out = warp_field_pallas(f, w, max_displacement=1, y_block=16, interpret=True)
     ref = warp_field(f, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_resample_multislab_parity(rng):
+    """z extents of m·128 use the multi-slab kernel; z is clamped to ±K like
+    x/y (documented large-volume fast-path semantics).
+
+    Tolerance note: the GOLDEN op computes frac(z + uz) at absolute
+    coordinates (f32 ulp at z=384 is 3e-5), while the kernel computes
+    frac(uz) directly (ulp ~2e-7) — the kernel is the more accurate side;
+    the tolerance covers the golden op's coordinate quantization."""
+    k = 2
+    for z in (256, 384):
+        f = jnp.asarray(rng.standard_normal((8, 8, z)).astype(np.float32))
+        w = jnp.asarray(rng.uniform(-4.0, 4.0, (8, 8, z, 3)).astype(np.float32))
+        out = warp_field_pallas(f, w, max_displacement=k, y_block=8, interpret=True)
+        wc = jnp.clip(w, -k, k)
+        ref = warp_field(f, wc)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4,
+            err_msg=f"z={z}",
+        )
+
+
+def test_resample_multislab_small_displacements(rng):
+    """Within ±1 voxel the multi-slab kernel matches the golden op with no
+    clamping caveat (global z edges included via the fill convention)."""
+    f = jnp.asarray(rng.standard_normal((8, 8, 256)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-0.95, 0.95, (8, 8, 256, 3)).astype(np.float32))
+    out = warp_field_pallas(f, w, max_displacement=2, y_block=8, interpret=True)
+    ref = warp_field(f, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)

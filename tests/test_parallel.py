@@ -130,3 +130,44 @@ def test_gspmd_auto_sharding_matches_single_device():
     np.testing.assert_allclose(np.asarray(auto.warp), np.asarray(ref.warp), atol=1e-5)
     # Output really is sharded over the mesh.
     assert len(auto.warp.sharding.device_set) == 4
+
+
+def test_sharded_pallas_parity_interpret():
+    """Sharded solver with the per-shard Pallas resample (interpret mode on
+    the CPU mesh) matches the single-device Pallas solver — BASELINE config
+    5's fast path. Both sides clamp x/y displacements to ±K identically."""
+    rng = np.random.default_rng(3)
+    shape = (32, 8, 128)
+    base = rng.standard_normal(shape).astype(np.float32)
+    canonical = jnp.asarray(np.tanh(base * 0.3))
+    live = jnp.asarray(np.tanh(np.roll(base, 1, axis=0) * 0.3))
+    params = SolverParams(
+        max_iterations=5,
+        learning_rate=0.2,
+        smoothing_term_weight=0.1,
+        smoothing_mode=SmoothingMode.KILLING,
+        level_set_term_weight=0.1,
+        sobolev_smoothing=True,
+        convergence_threshold=0.0,
+        use_pallas_resample=True,
+        pallas_interpret=True,
+    )
+    _parity(params, num_devices=4, live_halo=8, fields=(canonical, live))
+
+
+def test_sharded_pallas_parity_multislab_interpret():
+    """Same, with z = 2·128 (multi-slab kernel; z also clamped to ±K)."""
+    rng = np.random.default_rng(4)
+    shape = (32, 8, 256)
+    base = rng.standard_normal(shape).astype(np.float32)
+    canonical = jnp.asarray(np.tanh(base * 0.3))
+    live = jnp.asarray(np.tanh(np.roll(base, 1, axis=0) * 0.3))
+    params = SolverParams(
+        max_iterations=3,
+        learning_rate=0.2,
+        smoothing_term_weight=0.1,
+        convergence_threshold=0.0,
+        use_pallas_resample=True,
+        pallas_interpret=True,
+    )
+    _parity(params, num_devices=4, live_halo=8, fields=(canonical, live))
