@@ -124,12 +124,11 @@ def run_experiment(
         )
 
     if cfg.mode == "multi_frame_3d":
-        seq_kwargs = dict(blob_radius_px=10.0, blob_height=0.05,
-                          drift_px_per_frame=(1.5, 0.0), pulse_amplitude=0.1)
+        seq_kwargs = dict(width=48, height=48, blob_radius_px=10.0,
+                          blob_height=0.05, drift_px_per_frame=(1.5, 0.0),
+                          pulse_amplitude=0.1)
         seq_kwargs.update(cfg.dataset_kwargs)
-        seq = synthetic.snoopy_style_sequence_3d(
-            cfg.num_frames, width=48, height=48, **seq_kwargs
-        )
+        seq = synthetic.snoopy_style_sequence_3d(cfg.num_frames, **seq_kwargs)
         pipeline_cfg = FusionPipelineConfig(
             grid=grid,
             narrow_band_width_voxels=cfg.narrow_band_width_voxels,
@@ -144,6 +143,13 @@ def run_experiment(
         if resume:
             latest = ckpt.latest_frame(ckpt_root)
             if latest is not None:
+                if latest >= len(seq.frames) - 1:
+                    logger.event("resume_noop", frame=latest)
+                    video.close()
+                    return logger.finish(
+                        frames=0, resumed_from=latest,
+                        note="checkpoint already covers the full sequence",
+                    )
                 start_frame = latest
                 logger.event("resumed", frame=latest)
 
@@ -176,6 +182,9 @@ def run_experiment(
                       {"config": cfg.name, "final": True})
         return logger.finish(
             frames=len(seq.frames),
+            # frames/s is BASELINE's north-star throughput metric (includes
+            # TSDF generation, the warp solves, and the fusion blends).
+            frames_per_s=round(len(seq.frames) / max(logger.elapsed(), 1e-9), 3),
             reports=[r._asdict() for r in result.reports],
         )
 

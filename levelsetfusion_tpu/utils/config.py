@@ -121,15 +121,21 @@ PRESETS: Dict[str, ExperimentConfig] = {
         ),
     ),
     # 4. 3D multi-frame frame-to-canonical fusion, Killing regularization.
+    # 128³ grid with z = lane width so the Pallas resample engages per frame.
     "config4_3d_fusion": ExperimentConfig(
         name="config4_3d_fusion",
         mode="multi_frame_3d",
-        grid_shape=(64, 64, 64),
-        voxel_size=0.008,
-        grid_offset=(-32, -32, 38),
+        grid_shape=(128, 128, 128),
+        voxel_size=0.004,
+        grid_offset=(-64, -64, 75),
         num_frames=8,
         checkpoint_every=2,
-        solver=_solver_3d(smoothing_mode=SmoothingMode.KILLING, max_iterations=80),
+        solver=_solver_3d(
+            smoothing_mode=SmoothingMode.KILLING,
+            max_iterations=80,
+            use_pallas_resample=True,
+        ),
+        dataset_kwargs={"width": 96, "height": 96},
     ),
     # 5. Sharded 3D volume across a device mesh with halo exchange.
     "config5_sharded": ExperimentConfig(

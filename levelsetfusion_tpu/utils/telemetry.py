@@ -105,6 +105,9 @@ class RunLogger:
         if self.verbose:
             print(f"[focus {name} @{coords}] {vals}", file=sys.stderr)
 
+    def elapsed(self) -> float:
+        return time.perf_counter() - self._start
+
     def finish(self, **summary) -> Dict[str, Any]:
         self.summary.update(summary)
         self.summary.setdefault(
