@@ -289,6 +289,8 @@ def warp_field_pallas_prepared(
     m = z_size // _LANE
     yb = min(y_block, y_size)
     if y_size % yb:
+        yb = pick_y_block((x_size, y_size, z_size))  # auto: largest that divides
+    if y_size % yb:
         raise ValueError(f"y extent {y_size} not divisible by y_block {yb}")
     xb = _chunking(x_size, m)
     win = xb + n - 1

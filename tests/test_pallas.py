@@ -103,3 +103,13 @@ def test_resample_multislab_small_displacements(rng):
     out = warp_field_pallas(f, w, max_displacement=2, y_block=8, interpret=True)
     ref = warp_field(f, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_resample_default_yblock_adapts(rng):
+    """y extents not divisible by the default 64 auto-pick a block size
+    (regression: (…, 96, …) fields raised instead of dispatching)."""
+    f = jnp.asarray(rng.standard_normal((8, 96, 128)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-1.5, 1.5, (8, 96, 128, 3)).astype(np.float32))
+    out = warp_field_pallas(f, w, max_displacement=2, interpret=True)
+    ref = warp_field(f, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
