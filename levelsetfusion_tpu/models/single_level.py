@@ -110,12 +110,23 @@ def solve_single_level(
     prepared_live = None
     if params.use_pallas_resample and d == 3:
         from levelsetfusion_tpu.ops.pallas.resample import (
+            compute_skip_flags,
             pallas_resample_supported,
+            pick_y_block,
             prepare_field,
         )
 
         if pallas_resample_supported(live, params.pallas_interpret):
-            prepared_live = prepare_field(live, params.pallas_max_displacement)
+            stacked = prepare_field(live, params.pallas_max_displacement)
+            flags = None
+            if live.shape[-1] == 128:  # single-slab kernel supports skipping
+                flags = compute_skip_flags(
+                    stacked,
+                    live.shape[0],
+                    pick_y_block(live.shape),
+                    params.pallas_max_displacement,
+                )
+            prepared_live = (stacked, flags)
 
     n = params.max_iterations
     zeros = jnp.zeros((n,), canonical.dtype)

@@ -56,13 +56,14 @@ def warp_energy_gradient(
     sobolev_kernel: jnp.ndarray | None = None,
     use_pallas_resample: bool = False,
     pallas_max_displacement: int = 2,
-    prepared_live: jnp.ndarray | None = None,
+    prepared_live: tuple | None = None,
     pallas_interpret: bool = False,
 ) -> GradientResult:
     """Combined energy gradient at the current warp. Weights/modes are static.
 
-    ``prepared_live``: optional ``pallas.resample.prepare_field(live)`` result
-    — solvers pass it to skip the loop-invariant stack rebuild each iteration.
+    ``prepared_live``: optional ``(prepare_field(live), skip_flags_or_None)``
+    pair — solvers pass it to skip the loop-invariant stack rebuild (and,
+    with flags, fully-truncated blocks) each iteration.
     """
     if use_pallas_resample:
         from levelsetfusion_tpu.ops.pallas.resample import (
@@ -73,12 +74,14 @@ def warp_energy_gradient(
         from levelsetfusion_tpu.ops.derivatives import gradient as _grad
 
         if prepared_live is not None:
+            stacked, skip_flags = prepared_live
             warped = warp_field_pallas_prepared(
-                prepared_live,
+                stacked,
                 warp,
                 pallas_max_displacement,
                 y_block=pick_y_block(live.shape),
                 interpret=pallas_interpret,
+                skip_flags=skip_flags,
             )
         else:
             warped = warp_field_fast(

@@ -62,13 +62,44 @@ def _tent(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def _resample3d_kernel(s_ref, warp_ref, out_ref, tx_ref, ty_ref, *, k: int, xb: int):
+def _resample3d_kernel(
+    s_ref, warp_ref, out_ref, tx_ref, ty_ref, *, k: int, xb: int,
+    flags_ref=None,
+):
     """One output block = (1 x-row, yb y, 128 z). See module docstring."""
     n = 2 * k + 2
+    # program_id must be read OUTSIDE pl.when (unresolvable inside the cond).
     i = pl.program_id(1)
     r = i - (i // xb) * xb  # x row within the current x-chunk window
     kf = float(k)
 
+    if flags_ref is not None:
+        # Narrow-band skip: when every value this step can read is the
+        # truncation fill (+1), the tent/z weights sum to 1 so the output is
+        # exactly +1 — skip the pair loop (60–85% of blocks in scene-like
+        # TSDF volumes are fully truncated). flags_ref is a scalar-prefetch
+        # operand: the whole (y_blocks, x) array sits in SMEM.
+        flag = flags_ref[pl.program_id(0), pl.program_id(1)]
+
+        @pl.when(flag != 0)
+        def _skip():
+            # iota-derived fill: array constants cannot be lowered in kernels
+            ones = (
+                jax.lax.broadcasted_iota(jnp.int32, out_ref.shape[1:], 0) >= 0
+            ).astype(out_ref.dtype)
+            out_ref[0] = ones * TRUNCATION_FILL
+
+        @pl.when(flag == 0)
+        def _full():
+            _resample3d_body(s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, r)
+
+        return
+    _resample3d_body(s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, r)
+
+
+def _resample3d_body(s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, r):
+    n = 2 * k + 2
+    kf = float(k)
     # warp arrives component-major (3, x, y, z): a trailing component dim
     # would be lane-padded 3 -> 128 in VMEM (42x window DMA inflation).
     ux = jnp.clip(warp_ref[0, 0], -kf, kf)
@@ -266,6 +297,35 @@ def prepare_field(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("x_size", "y_block", "max_displacement")
+)
+def compute_skip_flags(
+    stacked: jnp.ndarray,
+    x_size: int,
+    y_block: int,
+    max_displacement: int = MAX_DISPLACEMENT,
+) -> jnp.ndarray:
+    """Per-(y-block, x-row) narrow-band skip flags for the resample kernel.
+
+    flag[j, i] = 1 iff every value reachable from output block (j, i) —
+    stacked rows i..i+2K+1, the j-th y block, all z — equals the truncation
+    fill, in which case the kernel writes +1 without running the pair loop.
+    Loop-invariant (depends only on the live field): compute once per solve.
+    """
+    n = 2 * max_displacement + 2
+    y_size = stacked.shape[2]
+    yb = min(y_block, y_size)
+    # min over shift copies and z lanes -> (xpad, y), then per y block.
+    rowmin = jnp.min(stacked, axis=(0, 3))
+    blockmin = jnp.min(rowmin.reshape(rowmin.shape[0], y_size // yb, yb), axis=2)
+    # sliding min over the n-row x window.
+    winmin = functools.reduce(
+        jnp.minimum, [blockmin[c : c + x_size] for c in range(n)]
+    )
+    return (winmin.T >= TRUNCATION_FILL - 1e-6).astype(jnp.int32)
+
+
+@functools.partial(
     jax.jit, static_argnames=("max_displacement", "y_block", "interpret")
 )
 def warp_field_pallas_prepared(
@@ -274,6 +334,7 @@ def warp_field_pallas_prepared(
     max_displacement: int = MAX_DISPLACEMENT,
     y_block: int = 64,
     interpret: bool = False,
+    skip_flags: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Resample from a ``prepare_field`` result (3D only).
 
@@ -298,22 +359,30 @@ def warp_field_pallas_prepared(
     warp_cm = jnp.moveaxis(warp, -1, 0)
 
     if m == 1:
-        kern = functools.partial(_resample3d_kernel, k=k, xb=xb)
+        if skip_flags is None:
+            kern = functools.partial(_resample3d_kernel, k=k, xb=xb)
+        else:
+            def kern(flags_ref, s_ref, warp_ref, out_ref, tx_ref, ty_ref,
+                     k=k, xb=xb):
+                _resample3d_kernel(
+                    s_ref, warp_ref, out_ref, tx_ref, ty_ref,
+                    k=k, xb=xb, flags_ref=flags_ref,
+                )
         grid = (y_size // yb, x_size)  # x fastest: stacked window DMAs rarely
         s_spec = pl.BlockSpec(
             # All-Element block: x window start advances by xb every xb
             # steps (so the big window DMAs once per chunk, not per step);
             # y/lane starts stay tile-aligned as Element requires.
             (pl.Element(n), pl.Element(win), pl.Element(yb), pl.Element(_LANE)),
-            lambda j, i, xb=xb, yb=yb: (0, (i // xb) * xb, j * yb, 0),
+            lambda j, i, *_, xb=xb, yb=yb: (0, (i // xb) * xb, j * yb, 0),
             memory_space=pltpu.VMEM,
         )
         w_spec = pl.BlockSpec(
-            (3, 1, yb, _LANE), lambda j, i: (0, i, j, 0),
+            (3, 1, yb, _LANE), lambda j, i, *_: (0, i, j, 0),
             memory_space=pltpu.VMEM,
         )
         o_spec = pl.BlockSpec(
-            (1, yb, _LANE), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM
+            (1, yb, _LANE), lambda j, i, *_: (i, j, 0), memory_space=pltpu.VMEM
         )
     else:
         kern = functools.partial(_resample3d_kernel_mz, k=k, xb=xb, m=m)
@@ -338,19 +407,40 @@ def warp_field_pallas_prepared(
             memory_space=pltpu.VMEM,
         )
 
+    scratch = [
+        pltpu.VMEM((n, yb, _LANE), jnp.float32),
+        pltpu.VMEM((n, yb, _LANE), jnp.float32),
+    ]
+    out_shape = jax.ShapeDtypeStruct((x_size, y_size, z_size), stacked.dtype)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
+    if m == 1 and skip_flags is not None:
+        # Scalar-prefetch grid spec: the whole flags array rides in SMEM and
+        # the kernel indexes it by program ids (tiny per-block SMEM windows
+        # are rejected by the TPU lowering).
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[s_spec, w_spec],
+            out_specs=o_spec,
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(skip_flags, stacked, warp_cm)
+
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[s_spec, w_spec],
         out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((x_size, y_size, z_size), stacked.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((n, yb, _LANE), jnp.float32),
-            pltpu.VMEM((n, yb, _LANE), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
-        ),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=cparams,
         interpret=interpret,
     )(stacked, warp_cm)
 

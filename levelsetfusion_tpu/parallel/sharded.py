@@ -108,7 +108,8 @@ def _block_gradient(
         )
 
         kk = params.pallas_max_displacement
-        stacked, xe = prepared_live  # (prepare_field result, kernel x extent)
+        # (prepare_field result, skip flags or None, kernel x extent)
+        stacked, flags, xe = prepared_live
         warp_k = jnp.pad(
             warp_ext, ((kk, xe - m - kk),) + ((0, 0),) * (warp_ext.ndim - 1)
         )
@@ -118,6 +119,7 @@ def _block_gradient(
             kk,
             y_block=pick_y_block(warp_k.shape[:-1]),
             interpret=params.pallas_interpret,
+            skip_flags=flags,
         )
         warped_ext = out[kk : kk + m]
     else:
@@ -298,7 +300,11 @@ def solve_single_level_sharded(
         prepared = None
         if use_pallas:
             from levelsetfusion_tpu.ops.interpolation import TRUNCATION_FILL
-            from levelsetfusion_tpu.ops.pallas.resample import prepare_field
+            from levelsetfusion_tpu.ops.pallas.resample import (
+                compute_skip_flags,
+                pick_y_block,
+                prepare_field,
+            )
 
             field_x = lax.dynamic_slice_in_dim(
                 live_ext, live_halo - 2 - kk, xe_raw, axis=0
@@ -308,7 +314,13 @@ def solve_single_level_sharded(
                 ((0, pallas_xe - xe_raw), (0, 0), (0, 0)),
                 constant_values=TRUNCATION_FILL,
             )
-            prepared = (prepare_field(field_x, kk), pallas_xe)
+            stacked = prepare_field(field_x, kk)
+            flags = None
+            if field_x.shape[-1] == 128:  # single-slab kernel: skip support
+                flags = compute_skip_flags(
+                    stacked, pallas_xe, pick_y_block(field_x.shape), kk
+                )
+            prepared = (stacked, flags, pallas_xe)
 
         zeros = jnp.zeros((n_iter,), canon_blk.dtype)
         init = (

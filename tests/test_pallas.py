@@ -113,3 +113,30 @@ def test_resample_default_yblock_adapts(rng):
     out = warp_field_pallas(f, w, max_displacement=2, interpret=True)
     ref = warp_field(f, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_resample_narrow_band_skip_flags(rng):
+    """With skip flags, fully-truncated blocks short-circuit to +1 and the
+    result still matches the golden op everywhere (blob-in-empty-space
+    field: most blocks are all +1)."""
+    from levelsetfusion_tpu.ops.pallas.resample import (
+        compute_skip_flags,
+        prepare_field,
+        warp_field_pallas_prepared,
+    )
+
+    shape = (32, 16, 128)
+    f = np.ones(shape, np.float32)
+    xs, ys, zs = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    r = np.sqrt((xs - 16.0) ** 2 + (ys - 8.0) ** 2 + (zs - 64.0) ** 2)
+    f = np.clip((r - 5.0) / 3.0, -1.0, 1.0).astype(np.float32)  # sphere TSDF
+    fj = jnp.asarray(f)
+    w = jnp.asarray(rng.uniform(-1.5, 1.5, shape + (3,)).astype(np.float32))
+    stacked = prepare_field(fj, 2)
+    flags = compute_skip_flags(stacked, shape[0], 8, 2)
+    assert int(np.asarray(flags).sum()) > 0, "expected some skippable blocks"
+    out = warp_field_pallas_prepared(
+        stacked, w, 2, y_block=8, interpret=True, skip_flags=flags
+    )
+    ref = warp_field(fj, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
