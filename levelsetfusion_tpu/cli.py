@@ -144,8 +144,15 @@ def run_experiment(
             latest = ckpt.latest_frame(ckpt_root)
             if latest is not None:
                 if latest >= len(seq.frames) - 1:
+                    # Nothing left to fuse — still (re)write the final
+                    # artifacts from the checkpoint so an interrupted run
+                    # can be completed.
                     logger.event("resume_noop", frame=latest)
+                    state, warp, _ = ckpt.load(ckpt_root, latest)
                     video.close()
+                    write_run_artifacts(
+                        out_dir, [], canonical=state.canonical, warp=warp
+                    )
                     return logger.finish(
                         frames=0, resumed_from=latest,
                         note="checkpoint already covers the full sequence",
@@ -180,11 +187,14 @@ def run_experiment(
         if cfg.checkpoint_every:
             ckpt.save(ckpt_root, len(seq.frames) - 1, result.state, result.final_warp,
                       {"config": cfg.name, "final": True})
+        # frames/s is BASELINE's north-star throughput metric (includes TSDF
+        # generation, the warp solves, and the fusion blends). Count only the
+        # frames THIS run processed so resumed runs don't inflate it.
+        processed = len(seq.frames) - start_frame
         return logger.finish(
             frames=len(seq.frames),
-            # frames/s is BASELINE's north-star throughput metric (includes
-            # TSDF generation, the warp solves, and the fusion blends).
-            frames_per_s=round(len(seq.frames) / max(logger.elapsed(), 1e-9), 3),
+            frames_processed=processed,
+            frames_per_s=round(processed / max(logger.elapsed(), 1e-9), 3),
             reports=[r._asdict() for r in result.reports],
         )
 

@@ -67,11 +67,9 @@ def _resample3d_kernel(
     flags_ref=None,
 ):
     """One output block = (1 x-row, yb y, 128 z). See module docstring."""
-    n = 2 * k + 2
     # program_id must be read OUTSIDE pl.when (unresolvable inside the cond).
     i = pl.program_id(1)
     r = i - (i // xb) * xb  # x row within the current x-chunk window
-    kf = float(k)
 
     if flags_ref is not None:
         # Narrow-band skip: when every value this step can read is the
@@ -283,16 +281,9 @@ def prepare_field(
     )
     # Stacked y-shifted copies: S[cy, x, y, z] = original[x - k, y + cy - k, z].
     stacked = jnp.stack([padded[:, cy : cy + y_size, :] for cy in range(n)])
-    # Pad x up to a whole number of chunks (window size xb + n - 1, aligned
-    # starts every xb).
-    xpad_have = stacked.shape[1]  # x_size + n - 1
-    xpad_need = ((x_size + xb - 1) // xb) * xb + n - 1
-    if xpad_need > xpad_have:
-        stacked = jnp.pad(
-            stacked,
-            ((0, 0), (0, xpad_need - xpad_have), (0, 0), (0, 0)),
-            constant_values=TRUNCATION_FILL,
-        )
+    # _chunking only returns divisors of x_size, so the stacked x extent
+    # (x_size + n - 1) already covers every chunk window of size xb + n - 1.
+    assert stacked.shape[1] == x_size + n - 1, (stacked.shape, x_size, xb)
     return stacked
 
 
@@ -457,9 +448,10 @@ def warp_field_pallas(
 ) -> jnp.ndarray:
     """Pallas trilinear/bilinear warp resample (see module docstring).
 
-    Requires the trailing spatial extent to be exactly 128 (vreg lane width).
-    One-shot convenience over ``prepare_field`` + ``warp_field_pallas_prepared``
-    — solvers should prepare once per solve instead.
+    Trailing spatial extent must be 128 (2D) or any multiple of 128 (3D;
+    multi-slab kernel, z clamped to ±K when larger than 128). One-shot
+    convenience over ``prepare_field`` + ``warp_field_pallas_prepared`` —
+    solvers should prepare once per solve instead.
     """
     d = field.ndim
     if (field.shape[-1] != _LANE) if d == 2 else (field.shape[-1] % _LANE):

@@ -279,16 +279,13 @@ def solve_single_level_sharded(
     # Per-shard Pallas fast path (BASELINE config 5 on real chips): gate
     # statically on shape/halo support; interpret-mode enables CPU testing.
     kk = params.pallas_max_displacement
+    from levelsetfusion_tpu.ops.pallas.resample import pallas_resample_supported
+
     use_pallas = (
         params.use_pallas_resample
         and d == 3
         and live_halo >= kk + 3
-        and canonical.shape[1] % 8 == 0
-        and canonical.shape[2] % 128 == 0
-        and (
-            params.pallas_interpret
-            or jax.devices()[0].platform == "tpu"
-        )
+        and pallas_resample_supported(canonical, params.pallas_interpret)
     )
     xe_raw = n_local + 4 + 2 * kk + 1
     pallas_xe = ((xe_raw + 7) // 8) * 8

@@ -137,14 +137,15 @@ PRESETS: Dict[str, ExperimentConfig] = {
         ),
         dataset_kwargs={"width": 96, "height": 96},
     ),
-    # 5. Sharded 3D volume across a device mesh with halo exchange.
+    # 5. Sharded 3D volume across a device mesh with halo exchange. z = lane
+    # width so the per-shard Pallas resample engages on TPU.
     "config5_sharded": ExperimentConfig(
         name="config5_sharded",
         mode="sharded_3d",
-        grid_shape=(128, 64, 64),
+        grid_shape=(128, 64, 128),
         voxel_size=0.008,
         grid_offset=(-64, -32, 38),
-        solver=_solver_3d(max_iterations=60),
+        solver=_solver_3d(max_iterations=60, use_pallas_resample=True),
         live_halo=8,
     ),
     # Rigid SDF-2-SDF (reference component §2.11).
