@@ -277,6 +277,11 @@ def main(argv=None):
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--list", action="store_true", help="list presets and exit")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--profile",
+        action="store_true",
+        help="capture a jax.profiler trace of the run under <out>/trace/",
+    )
     args = ap.parse_args(argv)
 
     if args.list:
@@ -297,7 +302,15 @@ def main(argv=None):
     else:
         ap.error("need --preset or --config")
     out = args.out or os.path.join("runs", cfg.name)
-    summary = run_experiment(cfg, out, resume=args.resume, verbose=args.verbose)
+    if args.profile:
+        from levelsetfusion_tpu.utils.profiling import trace
+
+        with trace(os.path.join(out, "trace")):
+            summary = run_experiment(
+                cfg, out, resume=args.resume, verbose=args.verbose
+            )
+    else:
+        summary = run_experiment(cfg, out, resume=args.resume, verbose=args.verbose)
     print(f"run complete -> {out}")
     for k, v in summary.items():
         print(f"  {k}: {v}")

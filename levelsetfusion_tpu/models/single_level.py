@@ -118,14 +118,12 @@ def solve_single_level(
 
         if pallas_resample_supported(live, params.pallas_interpret):
             stacked = prepare_field(live, params.pallas_max_displacement)
-            flags = None
-            if live.shape[-1] == 128:  # single-slab kernel supports skipping
-                flags = compute_skip_flags(
-                    stacked,
-                    live.shape[0],
-                    pick_y_block(live.shape),
-                    params.pallas_max_displacement,
-                )
+            flags = compute_skip_flags(
+                stacked,
+                live.shape[0],
+                pick_y_block(live.shape),
+                params.pallas_max_displacement,
+            )
             prepared_live = (stacked, flags)
 
     n = params.max_iterations

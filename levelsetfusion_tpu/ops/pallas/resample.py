@@ -145,7 +145,8 @@ def _resample3d_body(s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, r):
 
 
 def _resample3d_kernel_mz(
-    s_ref, warp_ref, out_ref, tx_ref, ty_ref, *, k: int, xb: int, m: int
+    s_ref, warp_ref, out_ref, tx_ref, ty_ref, *, k: int, xb: int, m: int,
+    flags_ref=None,
 ):
     """Multi-slab z variant (z extent = m·128, m ≥ 2). Differences from the
     single-slab kernel: z displacements are **clamped to ±K** like x/y (the
@@ -153,11 +154,35 @@ def _resample3d_kernel_mz(
     gathers from a ``ws``-slab window of the stacked array. The window shift
     is made STATIC per branch (zb==0 / interior / zb==m−1 via lax.cond) so no
     dynamic scalar ever enters vector math (the 7.6 µs/op stall)."""
-    n = 2 * k + 2
-    ws = min(m, 3)
     zb = pl.program_id(0)
     i = pl.program_id(2)
     r = i - (i // xb) * xb
+
+    if flags_ref is not None:
+        # Narrow-band skip (see the single-slab kernel); flags carry a
+        # leading z-slab axis here.
+        flag = flags_ref[zb, pl.program_id(1), i]
+
+        @pl.when(flag != 0)
+        def _skip():
+            ones = (
+                jax.lax.broadcasted_iota(jnp.int32, out_ref.shape[1:], 0) >= 0
+            ).astype(out_ref.dtype)
+            out_ref[0] = ones * TRUNCATION_FILL
+
+        @pl.when(flag == 0)
+        def _full():
+            _resample3d_body_mz(
+                s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, m, zb, r
+            )
+
+        return
+    _resample3d_body_mz(s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, m, zb, r)
+
+
+def _resample3d_body_mz(s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, m, zb, r):
+    n = 2 * k + 2
+    ws = min(m, 3)
     kf = float(k)
 
     ux = jnp.clip(warp_ref[0, 0], -kf, kf)
@@ -296,24 +321,45 @@ def compute_skip_flags(
     y_block: int,
     max_displacement: int = MAX_DISPLACEMENT,
 ) -> jnp.ndarray:
-    """Per-(y-block, x-row) narrow-band skip flags for the resample kernel.
+    """Narrow-band skip flags for the resample kernel.
 
-    flag[j, i] = 1 iff every value reachable from output block (j, i) —
-    stacked rows i..i+2K+1, the j-th y block, all z — equals the truncation
-    fill, in which case the kernel writes +1 without running the pair loop.
-    Loop-invariant (depends only on the live field): compute once per solve.
+    Single-slab (z = 128): flag[j, i] = 1 iff every value reachable from
+    output block (j, i) — stacked rows i..i+2K+1, the j-th y block, all z —
+    equals the truncation fill, in which case the kernel writes +1 without
+    running the pair loop. Multi-slab (z = m·128 > 128): flags gain a
+    leading z-slab axis, flag[zb, j, i], with reachability over that output
+    slab's ws-slab gather window. Loop-invariant (depends only on the live
+    field): compute once per solve.
     """
     n = 2 * max_displacement + 2
     y_size = stacked.shape[2]
+    z_size = stacked.shape[3]
+    m = z_size // _LANE
     yb = min(y_block, y_size)
-    # min over shift copies and z lanes -> (xpad, y), then per y block.
-    rowmin = jnp.min(stacked, axis=(0, 3))
-    blockmin = jnp.min(rowmin.reshape(rowmin.shape[0], y_size // yb, yb), axis=2)
+    # min over shift copies -> (xpad, y, z); then per y block and z slab.
+    rowmin = jnp.min(stacked, axis=0)
+    blockmin = jnp.min(
+        rowmin.reshape(rowmin.shape[0], y_size // yb, yb, m, _LANE),
+        axis=(2, 4),
+    )  # (xpad, y_blocks, m)
     # sliding min over the n-row x window.
     winmin = functools.reduce(
         jnp.minimum, [blockmin[c : c + x_size] for c in range(n)]
-    )
-    return (winmin.T >= TRUNCATION_FILL - 1e-6).astype(jnp.int32)
+    )  # (x, y_blocks, m)
+    if m == 1:
+        return (winmin[..., 0].T >= TRUNCATION_FILL - 1e-6).astype(jnp.int32)
+    # Multi-slab: min over each output slab's gather window
+    # [clip(zb-1, 0, m-ws), +ws).
+    ws = min(m, 3)
+    slabmin = jnp.stack(
+        [
+            jnp.min(winmin[..., min(max(zb - 1, 0), m - ws):][..., :ws], axis=-1)
+            for zb in range(m)
+        ]
+    )  # (m, x, y_blocks)
+    return (
+        jnp.transpose(slabmin, (0, 2, 1)) >= TRUNCATION_FILL - 1e-6
+    ).astype(jnp.int32)
 
 
 @functools.partial(
@@ -376,12 +422,20 @@ def warp_field_pallas_prepared(
             (1, yb, _LANE), lambda j, i, *_: (i, j, 0), memory_space=pltpu.VMEM
         )
     else:
-        kern = functools.partial(_resample3d_kernel_mz, k=k, xb=xb, m=m)
+        if skip_flags is None:
+            kern = functools.partial(_resample3d_kernel_mz, k=k, xb=xb, m=m)
+        else:
+            def kern(flags_ref, s_ref, warp_ref, out_ref, tx_ref, ty_ref,
+                     k=k, xb=xb, m=m):
+                _resample3d_kernel_mz(
+                    s_ref, warp_ref, out_ref, tx_ref, ty_ref,
+                    k=k, xb=xb, m=m, flags_ref=flags_ref,
+                )
         grid = (m, y_size // yb, x_size)  # z-slab slowest
         s_spec = pl.BlockSpec(
             (pl.Element(n), pl.Element(win), pl.Element(yb),
              pl.Element(ws * _LANE)),
-            lambda zb, j, i, xb=xb, yb=yb, m=m, ws=ws: (
+            lambda zb, j, i, *_, xb=xb, yb=yb, m=m, ws=ws: (
                 0,
                 (i // xb) * xb,
                 j * yb,
@@ -390,11 +444,11 @@ def warp_field_pallas_prepared(
             memory_space=pltpu.VMEM,
         )
         w_spec = pl.BlockSpec(
-            (3, 1, yb, _LANE), lambda zb, j, i: (0, i, j, zb),
+            (3, 1, yb, _LANE), lambda zb, j, i, *_: (0, i, j, zb),
             memory_space=pltpu.VMEM,
         )
         o_spec = pl.BlockSpec(
-            (1, yb, _LANE), lambda zb, j, i: (i, j, zb),
+            (1, yb, _LANE), lambda zb, j, i, *_: (i, j, zb),
             memory_space=pltpu.VMEM,
         )
 
@@ -405,7 +459,7 @@ def warp_field_pallas_prepared(
     out_shape = jax.ShapeDtypeStruct((x_size, y_size, z_size), stacked.dtype)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
-    if m == 1 and skip_flags is not None:
+    if skip_flags is not None:
         # Scalar-prefetch grid spec: the whole flags array rides in SMEM and
         # the kernel indexes it by program ids (tiny per-block SMEM windows
         # are rejected by the TPU lowering).

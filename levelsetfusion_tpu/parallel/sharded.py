@@ -312,11 +312,9 @@ def solve_single_level_sharded(
                 constant_values=TRUNCATION_FILL,
             )
             stacked = prepare_field(field_x, kk)
-            flags = None
-            if field_x.shape[-1] == 128:  # single-slab kernel: skip support
-                flags = compute_skip_flags(
-                    stacked, pallas_xe, pick_y_block(field_x.shape), kk
-                )
+            flags = compute_skip_flags(
+                stacked, pallas_xe, pick_y_block(field_x.shape), kk
+            )
             prepared = (stacked, flags, pallas_xe)
 
         zeros = jnp.zeros((n_iter,), canon_blk.dtype)

@@ -140,3 +140,32 @@ def test_resample_narrow_band_skip_flags(rng):
     )
     ref = warp_field(fj, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_resample_narrow_band_skip_flags_multislab(rng):
+    """Skip flags for z = m·128 volumes (per-z-slab granularity)."""
+    from levelsetfusion_tpu.ops.pallas.resample import (
+        compute_skip_flags,
+        prepare_field,
+        warp_field_pallas_prepared,
+    )
+
+    # m ≥ 4 so gather windows (3 slabs) are smaller than the volume and the
+    # per-slab flag axis can discriminate.
+    shape = (8, 8, 512)
+    xs, ys, zs = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    r = np.sqrt((xs - 4.0) ** 2 + (ys - 4.0) ** 2 + (zs - 64.0) ** 2)
+    f = np.clip((r - 4.0) / 3.0, -1.0, 1.0).astype(np.float32)
+    fj = jnp.asarray(f)
+    w = jnp.asarray(rng.uniform(-3.0, 3.0, shape + (3,)).astype(np.float32))
+    stacked = prepare_field(fj, 2)
+    flags = compute_skip_flags(stacked, shape[0], 8, 2)
+    assert flags.shape == (4, 1, 8)
+    # The blob sits entirely in slab 0: the last slab's window (slabs 1-3)
+    # must be fully skippable.
+    assert int(np.asarray(flags)[3].sum()) == 8
+    out = warp_field_pallas_prepared(
+        stacked, w, 2, y_block=8, interpret=True, skip_flags=flags
+    )
+    ref = warp_field(fj, jnp.clip(w, -2, 2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
