@@ -313,13 +313,15 @@ def prepare_field(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("x_size", "y_block", "max_displacement")
+    jax.jit,
+    static_argnames=("x_size", "y_block", "max_displacement", "x_start"),
 )
 def compute_skip_flags(
     stacked: jnp.ndarray,
     x_size: int,
     y_block: int,
     max_displacement: int = MAX_DISPLACEMENT,
+    x_start: int = 0,
 ) -> jnp.ndarray:
     """Narrow-band skip flags for the resample kernel.
 
@@ -344,7 +346,8 @@ def compute_skip_flags(
     )  # (xpad, y_blocks, m)
     # sliding min over the n-row x window.
     winmin = functools.reduce(
-        jnp.minimum, [blockmin[c : c + x_size] for c in range(n)]
+        jnp.minimum,
+        [blockmin[x_start + c : x_start + c + x_size] for c in range(n)]
     )  # (x, y_blocks, m)
     if m == 1:
         return (winmin[..., 0].T >= TRUNCATION_FILL - 1e-6).astype(jnp.int32)
@@ -363,7 +366,8 @@ def compute_skip_flags(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_displacement", "y_block", "interpret")
+    jax.jit,
+    static_argnames=("max_displacement", "y_block", "interpret", "x_start"),
 )
 def warp_field_pallas_prepared(
     stacked: jnp.ndarray,
@@ -372,12 +376,17 @@ def warp_field_pallas_prepared(
     y_block: int = 64,
     interpret: bool = False,
     skip_flags: jnp.ndarray | None = None,
+    x_start: int = 0,
 ) -> jnp.ndarray:
     """Resample from a ``prepare_field`` result (3D only).
 
     z extent must be a multiple of 128. For z == 128 per-voxel z
     displacements are unbounded; for larger volumes (m = z/128 slabs > 1)
     z is clamped to ±K like x/y (documented fast-path semantics).
+
+    ``x_start``: output row i samples field row ``x_start + i + ux`` — lets
+    callers resample an interior x window of a wider prepared field without
+    padding the warp (the sharded solver's haloed live block).
     """
     k = max_displacement
     n = 2 * k + 2
@@ -393,6 +402,12 @@ def warp_field_pallas_prepared(
     xb = _chunking(x_size, m)
     win = xb + n - 1
     ws = min(m, 3)
+    field_ext = stacked.shape[1] - (n - 1)
+    if x_start + x_size > field_ext:
+        raise ValueError(
+            f"x window [{x_start}, {x_start + x_size}) exceeds prepared "
+            f"field extent {field_ext}"
+        )
     warp_cm = jnp.moveaxis(warp, -1, 0)
 
     if m == 1:
@@ -411,7 +426,7 @@ def warp_field_pallas_prepared(
             # steps (so the big window DMAs once per chunk, not per step);
             # y/lane starts stay tile-aligned as Element requires.
             (pl.Element(n), pl.Element(win), pl.Element(yb), pl.Element(_LANE)),
-            lambda j, i, *_, xb=xb, yb=yb: (0, (i // xb) * xb, j * yb, 0),
+            lambda j, i, *_, xb=xb, yb=yb, xs=x_start: (0, (i // xb) * xb + xs, j * yb, 0),
             memory_space=pltpu.VMEM,
         )
         w_spec = pl.BlockSpec(
@@ -435,9 +450,9 @@ def warp_field_pallas_prepared(
         s_spec = pl.BlockSpec(
             (pl.Element(n), pl.Element(win), pl.Element(yb),
              pl.Element(ws * _LANE)),
-            lambda zb, j, i, *_, xb=xb, yb=yb, m=m, ws=ws: (
+            lambda zb, j, i, *_, xb=xb, yb=yb, m=m, ws=ws, xs=x_start: (
                 0,
-                (i // xb) * xb,
+                (i // xb) * xb + xs,
                 j * yb,
                 jnp.clip(zb - 1, 0, m - ws) * _LANE,
             ),

@@ -108,10 +108,10 @@ def _block_gradient(
         )
 
         kk = params.pallas_max_displacement
-        # (prepare_field result, skip flags or None, kernel x extent)
+        # (prepare_field result, skip flags or None, kernel output x extent)
         stacked, flags, xe = prepared_live
         warp_k = jnp.pad(
-            warp_ext, ((kk, xe - m - kk),) + ((0, 0),) * (warp_ext.ndim - 1)
+            warp_ext, ((0, xe - m),) + ((0, 0),) * (warp_ext.ndim - 1)
         )
         out = warp_field_pallas_prepared(
             stacked,
@@ -120,8 +120,9 @@ def _block_gradient(
             y_block=pick_y_block(warp_k.shape[:-1]),
             interpret=params.pallas_interpret,
             skip_flags=flags,
+            x_start=kk,  # output row j samples field row j + K + ux
         )
-        warped_ext = out[kk : kk + m]
+        warped_ext = out[:m]
     else:
         shape_ext = (m,) + canon_blk.shape[1:]
         pos0 = (
@@ -287,8 +288,13 @@ def solve_single_level_sharded(
         and live_halo >= kk + 3
         and pallas_resample_supported(canonical, params.pallas_interpret)
     )
+    # Kernel output extent: the m = n_local+4 kept rows rounded up to a
+    # chunkable multiple of 8 (output row j samples field row j + K + ux via
+    # x_start, so the field slice needs K rows before and K+1 after the
+    # output window).
     xe_raw = n_local + 4 + 2 * kk + 1
-    pallas_xe = ((xe_raw + 7) // 8) * 8
+    pallas_xe = ((n_local + 4 + 7) // 8) * 8
+    pallas_field_ext = max(xe_raw, pallas_xe + kk)
 
     def run(canon_blk, live_blk, warp0_blk):
         live_ext = halo_exchange(
@@ -308,12 +314,13 @@ def solve_single_level_sharded(
             )
             field_x = jnp.pad(
                 field_x,
-                ((0, pallas_xe - xe_raw), (0, 0), (0, 0)),
+                ((0, pallas_field_ext - xe_raw), (0, 0), (0, 0)),
                 constant_values=TRUNCATION_FILL,
             )
             stacked = prepare_field(field_x, kk)
             flags = compute_skip_flags(
-                stacked, pallas_xe, pick_y_block(field_x.shape), kk
+                stacked, pallas_xe, pick_y_block(field_x.shape), kk,
+                x_start=kk,
             )
             prepared = (stacked, flags, pallas_xe)
 
