@@ -81,12 +81,20 @@ def _block_gradient(
     nd: int,
     live_halo: int,
     prepared_live=None,
+    warp_ghosts=None,
+    local_only=False,
 ):
     """Combined energy gradient + energies on one voxel block.
 
     Mirrors ops.gradient.warp_energy_gradient term by term; every axis-0
     stencil goes through the halo-exact primitives, other axes use the
     ordinary single-device ops (they are unsharded).
+
+    ``warp_ghosts``: optional ``(lo2, hi2)`` frozen ghost rows — used by the
+    Schur solver's block-local inner iterations instead of a live
+    ``ppermute`` exchange. ``local_only``: skip every collective (the Sobolev
+    filter zero-pads at block edges, energies return unreduced) — the
+    caller reduces once per outer step.
     """
     d = warp.shape[-1]
     n = warp.shape[0]
@@ -94,7 +102,11 @@ def _block_gradient(
     start = idx * n
 
     # ---- warped live on block + 2 ghost rows --------------------------------
-    warp_ext = halo_exchange(warp, 2, axis_name, nd, fill="replicate")
+    if warp_ghosts is not None:
+        lo2, hi2 = warp_ghosts
+        warp_ext = jnp.concatenate([lo2, warp, hi2], axis=0)
+    else:
+        warp_ext = halo_exchange(warp, 2, axis_name, nd, fill="replicate")
     m = n + 4
     if prepared_live is not None:
         # Per-shard Pallas resample from the haloed live copy (see
@@ -220,16 +232,134 @@ def _block_gradient(
 
     # ---- Sobolev filtering --------------------------------------------------
     if kernel is not None:
-        total = convolve0_zero_edges(total, kernel, axis_name, nd)
+        if local_only:
+            # Block-local filter: zero padding at the block edges (exact at
+            # the fixed point, where the raw gradient is zero everywhere).
+            total = sobolev_ops._convolve_axis(total, kernel, 0)
+        else:
+            total = convolve0_zero_edges(total, kernel, axis_name, nd)
         for ax in range(1, d):
             total = sobolev_ops._convolve_axis(total, kernel, ax)
 
+    if local_only:
+        return total, (e_data, e_smooth, e_ls)
     energies = (
         lax.psum(e_data, axis_name),
         lax.psum(e_smooth, axis_name),
         lax.psum(e_ls, axis_name),
     )
     return total, energies
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "axis_name", "live_halo")
+)
+def warp_field_sharded(
+    live: jnp.ndarray,
+    warp: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis_name: str = "x",
+    live_halo: int = 8,
+) -> jnp.ndarray:
+    """Resample ``live`` at ``x + warp(x)`` with both arrays voxel-block
+    sharded along axis 0 — the fusion step's gather, done with one explicit
+    halo exchange instead of a partitioner-chosen all-gather.
+
+    Same contract as the sharded solver: per-voxel axis-0 displacements
+    beyond ``live_halo`` read the +1 truncation fill.
+    """
+    nd = mesh.shape[axis_name]
+    if live.shape[0] % nd:
+        raise ValueError(
+            f"axis 0 ({live.shape[0]}) must divide over {nd} devices"
+        )
+    n_local = live.shape[0] // nd
+    lh = min(live_halo, n_local)
+    d = live.ndim
+
+    def run(live_blk, warp_blk):
+        live_ext = halo_exchange(
+            live_blk, lh, axis_name, nd, fill="truncation"
+        )
+        shape = live_blk.shape
+        # Coordinates in the extended frame: local row i sits at ext row
+        # i + lh; global out-of-bounds beyond the halo hits sample_at's fill.
+        coords = [
+            lax.broadcasted_iota(jnp.int32, shape, 0).astype(warp_blk.dtype)
+            + lh
+            + warp_blk[..., 0]
+        ]
+        for ax in range(1, d):
+            ident = lax.broadcasted_iota(jnp.int32, shape, ax).astype(
+                warp_blk.dtype
+            )
+            coords.append(ident + warp_blk[..., ax])
+        return sample_at(live_ext, jnp.stack(coords, axis=-1))
+
+    spec = P(axis_name)
+    fn = shard_map(
+        run, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(live, warp)
+
+
+def pallas_block_supported(params: SolverParams, canonical, live_halo: int) -> bool:
+    """Static gate for the per-shard Pallas resample fast path."""
+    from levelsetfusion_tpu.ops.pallas.resample import pallas_resample_supported
+
+    kk = params.pallas_max_displacement
+    return (
+        params.use_pallas_resample
+        and canonical.ndim == 3
+        and live_halo >= kk + 3
+        and pallas_resample_supported(canonical, params.pallas_interpret)
+    )
+
+
+def pallas_prep_extents(params: SolverParams, n_local: int):
+    """(kk, xe_raw, pallas_xe, pallas_field_ext) for the per-shard kernel.
+
+    Kernel output extent: the m = n_local+4 kept rows rounded up to a
+    chunkable multiple of 8 (output row j samples field row j + K + ux via
+    x_start, so the field slice needs K rows before and K+1 after the
+    output window).
+    """
+    kk = params.pallas_max_displacement
+    xe_raw = n_local + 4 + 2 * kk + 1
+    pallas_xe = ((n_local + 4 + 7) // 8) * 8
+    pallas_field_ext = max(xe_raw, pallas_xe + kk)
+    return kk, xe_raw, pallas_xe, pallas_field_ext
+
+
+def prepare_block_resample(live_ext, params: SolverParams, live_halo: int,
+                           n_local: int):
+    """Per-shard ``prepare_field`` + skip flags from the haloed live block
+    (loop-invariant; called once per solve inside ``shard_map``)."""
+    from levelsetfusion_tpu.ops.interpolation import TRUNCATION_FILL
+    from levelsetfusion_tpu.ops.pallas.resample import (
+        compute_skip_flags,
+        pick_y_block,
+        prepare_field,
+    )
+
+    kk, xe_raw, pallas_xe, pallas_field_ext = pallas_prep_extents(
+        params, n_local
+    )
+    field_x = lax.dynamic_slice_in_dim(
+        live_ext, live_halo - 2 - kk, xe_raw, axis=0
+    )
+    field_x = jnp.pad(
+        field_x,
+        ((0, pallas_field_ext - xe_raw), (0, 0), (0, 0)),
+        constant_values=TRUNCATION_FILL,
+    )
+    stacked = prepare_field(field_x, kk)
+    flags = compute_skip_flags(
+        stacked, pallas_xe, pick_y_block(field_x.shape), kk, x_start=kk
+    )
+    return (stacked, flags, pallas_xe)
 
 
 @partial(
@@ -279,22 +409,7 @@ def solve_single_level_sharded(
 
     # Per-shard Pallas fast path (BASELINE config 5 on real chips): gate
     # statically on shape/halo support; interpret-mode enables CPU testing.
-    kk = params.pallas_max_displacement
-    from levelsetfusion_tpu.ops.pallas.resample import pallas_resample_supported
-
-    use_pallas = (
-        params.use_pallas_resample
-        and d == 3
-        and live_halo >= kk + 3
-        and pallas_resample_supported(canonical, params.pallas_interpret)
-    )
-    # Kernel output extent: the m = n_local+4 kept rows rounded up to a
-    # chunkable multiple of 8 (output row j samples field row j + K + ux via
-    # x_start, so the field slice needs K rows before and K+1 after the
-    # output window).
-    xe_raw = n_local + 4 + 2 * kk + 1
-    pallas_xe = ((n_local + 4 + 7) // 8) * 8
-    pallas_field_ext = max(xe_raw, pallas_xe + kk)
+    use_pallas = pallas_block_supported(params, canonical, live_halo)
 
     def run(canon_blk, live_blk, warp0_blk):
         live_ext = halo_exchange(
@@ -302,27 +417,9 @@ def solve_single_level_sharded(
         )
         prepared = None
         if use_pallas:
-            from levelsetfusion_tpu.ops.interpolation import TRUNCATION_FILL
-            from levelsetfusion_tpu.ops.pallas.resample import (
-                compute_skip_flags,
-                pick_y_block,
-                prepare_field,
+            prepared = prepare_block_resample(
+                live_ext, params, live_halo, n_local
             )
-
-            field_x = lax.dynamic_slice_in_dim(
-                live_ext, live_halo - 2 - kk, xe_raw, axis=0
-            )
-            field_x = jnp.pad(
-                field_x,
-                ((0, pallas_field_ext - xe_raw), (0, 0), (0, 0)),
-                constant_values=TRUNCATION_FILL,
-            )
-            stacked = prepare_field(field_x, kk)
-            flags = compute_skip_flags(
-                stacked, pallas_xe, pick_y_block(field_x.shape), kk,
-                x_start=kk,
-            )
-            prepared = (stacked, flags, pallas_xe)
 
         zeros = jnp.zeros((n_iter,), canon_blk.dtype)
         init = (
