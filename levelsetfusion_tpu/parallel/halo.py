@@ -1,28 +1,33 @@
 """Halo exchange and edge-exact sharded stencil primitives.
 
-The volume is sharded along spatial axis 0 into contiguous voxel blocks,
-one per device on a 1D mesh. These helpers run *inside* ``shard_map``:
+The volume is sharded along one or two spatial axes into contiguous voxel
+blocks over a device mesh. These helpers run *inside* ``shard_map`` and are
+axis-parametric (``axis=0`` default — the 1D solver; the 2D solver passes
+``axis=1`` for the second sharded dimension):
 
-- ``halo_exchange``: pull ``width`` boundary rows from both neighbors with
-  ``lax.ppermute`` (ICI neighbor exchange); at the two global boundaries the
-  halo is synthesized per ``fill``:
-    * ``"replicate"`` — copy the block's edge row (Neumann ghost cells; the
-      convention of the framework's Laplacian),
+- ``halo_exchange``: pull ``width`` boundary slices from both neighbors
+  along ``axis`` with ``lax.ppermute`` (ICI neighbor exchange); at the two
+  global boundaries the halo is synthesized per ``fill``:
+    * ``"replicate"`` — copy the block's edge slice (Neumann ghost cells;
+      the convention of the framework's Laplacian),
     * ``"zero"``      — zeros (the Sobolev filter's zero padding),
     * ``"truncation"``— +1.0 (unobserved space outside the volume).
-- ``d0_edge_fixed``: axis-0 np.gradient on a haloed block that reproduces
-  the *global* one-sided edge convention exactly. Trick: with replicated
-  ghost rows, the central difference at a global edge row equals half the
-  one-sided difference, so doubling that row restores it; the fixed edge row
-  is then re-broadcast into the out-of-domain halo rows so the operator can
-  be applied repeatedly (Hessians).
-- ``second_diff0``: plain axis-0 1-(-2)-1 stencil on a haloed block — with
-  replicated ghosts this matches the global Neumann Laplacian with no fix-up.
+- ``d_edge_fixed``: np.gradient along ``axis`` on a haloed block that
+  reproduces the *global* one-sided edge convention exactly. Trick: with
+  replicated ghost slices, the central difference at a global edge equals
+  half the one-sided difference, so doubling it restores it; the fixed edge
+  slice is then re-broadcast into the out-of-domain ghost slices so the
+  operator can be applied repeatedly (Hessians, ∇(∇·u)).
+- ``second_diff``: plain 1-(-2)-1 stencil along ``axis`` on a haloed block —
+  with replicated ghosts this matches the global Neumann Laplacian with no
+  fix-up.
+- ``convolve_zero_edges``: same-size convolution along ``axis`` with global
+  zero padding (the Sobolev filter), via a radius-wide zero-filled exchange.
 
-Together with the fact that only axis 0 is sharded (all other spatial axes
-use the ordinary single-device ops unchanged), every derivative the solver
-needs is *bit-comparable* with its single-device counterpart; the parity
-tests in tests/test_parallel.py assert this.
+Unsharded axes use the ordinary single-device ops unchanged, so every
+derivative the solver needs is *bit-comparable* with its single-device
+counterpart; the parity tests in tests/test_parallel.py (1D) and
+tests/test_parallel2d.py (2D) assert this.
 """
 
 from __future__ import annotations
@@ -32,8 +37,14 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _edge_row(x, i):
-    return lax.dynamic_slice_in_dim(x, i, 1, axis=0)
+def _edge(x, i, axis):
+    return lax.dynamic_slice_in_dim(x, i, 1, axis=axis)
+
+
+def _iota_along(shape_like, axis):
+    shape = [1] * shape_like.ndim
+    shape[axis] = shape_like.shape[axis]
+    return lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
 
 
 def halo_exchange(
@@ -42,21 +53,32 @@ def halo_exchange(
     axis_name: str,
     num_devices: int,
     fill: str = "replicate",
+    axis: int = 0,
 ) -> jnp.ndarray:
-    """Return ``x`` extended with ``width`` halo rows on both sides of axis 0."""
+    """Return ``x`` extended with ``width`` halo slices on both sides of
+    ``axis`` (sharded over mesh axis ``axis_name``)."""
     if width == 0:
         return x
     idx = lax.axis_index(axis_name)
     fwd = [(i, (i + 1) % num_devices) for i in range(num_devices)]
     bwd = [(i, (i - 1) % num_devices) for i in range(num_devices)]
-    # Halo received from the left neighbor = its last `width` rows.
-    from_left = lax.ppermute(x[-width:], axis_name, fwd)
-    # Halo received from the right neighbor = its first `width` rows.
-    from_right = lax.ppermute(x[:width], axis_name, bwd)
+    n = x.shape[axis]
+    # Halo received from the left neighbor = its last `width` slices.
+    from_left = lax.ppermute(
+        lax.slice_in_dim(x, n - width, n, axis=axis), axis_name, fwd
+    )
+    # Halo received from the right neighbor = its first `width` slices.
+    from_right = lax.ppermute(
+        lax.slice_in_dim(x, 0, width, axis=axis), axis_name, bwd
+    )
 
     if fill == "replicate":
-        left_fill = jnp.broadcast_to(x[:1], from_left.shape)
-        right_fill = jnp.broadcast_to(x[-1:], from_right.shape)
+        left_fill = jnp.broadcast_to(
+            lax.slice_in_dim(x, 0, 1, axis=axis), from_left.shape
+        )
+        right_fill = jnp.broadcast_to(
+            lax.slice_in_dim(x, n - 1, n, axis=axis), from_right.shape
+        )
     elif fill == "zero":
         left_fill = jnp.zeros_like(from_left)
         right_fill = jnp.zeros_like(from_right)
@@ -68,63 +90,91 @@ def halo_exchange(
 
     from_left = jnp.where(idx == 0, left_fill, from_left)
     from_right = jnp.where(idx == num_devices - 1, right_fill, from_right)
-    return jnp.concatenate([from_left, x, from_right], axis=0)
+    return jnp.concatenate([from_left, x, from_right], axis=axis)
 
 
-def d0_edge_fixed(
+def d_edge_fixed(
     x_ext: jnp.ndarray,
     halo: int,
     axis_name: str,
     num_devices: int,
+    axis: int = 0,
 ) -> jnp.ndarray:
-    """Axis-0 np.gradient of a haloed block, exact at global edges.
+    """np.gradient along ``axis`` of a haloed block, exact at global edges.
 
     Args:
-      x_ext: block with ``halo`` ghost rows per side (global-edge ghosts must
-        be *replicated* edge rows).
-      halo: number of ghost rows on each side of ``x_ext`` (static).
+      x_ext: block with ``halo`` ghost slices per side along ``axis``
+        (global-edge ghosts must be *replicated* edge slices).
+      halo: ghost slices on each side of ``x_ext`` along ``axis`` (static).
 
-    Returns the gradient with ``halo - 1`` ghost rows per side; at the global
-    boundaries the output's remaining ghost rows hold the (fixed) edge value,
-    so the result can be fed to ``d0_edge_fixed`` again (np.gradient
-    composition for Hessians).
+    Returns the gradient with ``halo - 1`` ghost slices per side; at the
+    global boundaries the remaining ghosts hold the (fixed) edge value, so
+    the result can be fed back in (np.gradient composition for Hessians).
     """
     idx = lax.axis_index(axis_name)
     first = idx == 0
     last = idx == num_devices - 1
 
-    g = (x_ext[2:] - x_ext[:-2]) * 0.5  # rows: local ± (halo-1)
-    m = g.shape[0]
-    h = halo - 1  # ghost rows remaining in g; global row 0 sits at index h
-    rows = lax.broadcasted_iota(jnp.int32, (m,) + (1,) * (g.ndim - 1), 0)
+    n = x_ext.shape[axis]
+    g = (
+        lax.slice_in_dim(x_ext, 2, n, axis=axis)
+        - lax.slice_in_dim(x_ext, 0, n - 2, axis=axis)
+    ) * 0.5  # slices: local ± (halo-1)
+    m = g.shape[axis]
+    h = halo - 1  # ghosts remaining in g; global slice 0 sits at index h
+    rows = _iota_along(g, axis)
 
-    # One-sided fix at the global start: double row h, replicate into ghosts.
-    start_fixed = _edge_row(g, h) * 2.0
+    # One-sided fix at the global start: double slice h, replicate into ghosts.
+    start_fixed = _edge(g, h, axis) * 2.0
     g = jnp.where(first & (rows <= h), start_fixed, g)
-    # Global end: double row m-1-h, replicate into trailing ghosts.
-    end_fixed = _edge_row(g, m - 1 - h) * 2.0
+    # Global end: double slice m-1-h, replicate into trailing ghosts.
+    end_fixed = _edge(g, m - 1 - h, axis) * 2.0
     g = jnp.where(last & (rows >= m - 1 - h), end_fixed, g)
     return g
 
 
-def second_diff0(x_ext: jnp.ndarray) -> jnp.ndarray:
-    """Axis-0 1-(-2)-1 stencil; consumes one ghost row per side."""
-    return x_ext[2:] - 2.0 * x_ext[1:-1] + x_ext[:-2]
+def second_diff(x_ext: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """1-(-2)-1 stencil along ``axis``; consumes one ghost slice per side."""
+    n = x_ext.shape[axis]
+    return (
+        lax.slice_in_dim(x_ext, 2, n, axis=axis)
+        - 2.0 * lax.slice_in_dim(x_ext, 1, n - 1, axis=axis)
+        + lax.slice_in_dim(x_ext, 0, n - 2, axis=axis)
+    )
 
 
-def convolve0_zero_edges(
+def convolve_zero_edges(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
     axis_name: str,
     num_devices: int,
+    axis: int = 0,
 ) -> jnp.ndarray:
-    """Same-size axis-0 convolution with global zero padding (Sobolev filter):
-    exchanges a radius-wide halo, zero-filled at global edges."""
+    """Same-size convolution along ``axis`` with global zero padding (the
+    Sobolev filter): exchanges a radius-wide halo, zero-filled at global
+    edges."""
     k = kernel.shape[0]
     r = k // 2
-    x_ext = halo_exchange(x, r, axis_name, num_devices, fill="zero")
-    n = x.shape[0]
+    x_ext = halo_exchange(x, r, axis_name, num_devices, fill="zero", axis=axis)
+    n = x.shape[axis]
     out = jnp.zeros_like(x)
     for t in range(k):
-        out = out + kernel[k - 1 - t] * x_ext[t : t + n]
+        out = out + kernel[k - 1 - t] * lax.slice_in_dim(
+            x_ext, t, t + n, axis=axis
+        )
     return out
+
+
+# --- axis-0 aliases (the 1D sharded solver's original API) -----------------
+
+
+def d0_edge_fixed(x_ext, halo, axis_name, num_devices):
+    return d_edge_fixed(x_ext, halo, axis_name, num_devices, axis=0)
+
+
+def second_diff0(x_ext):
+    return second_diff(x_ext, axis=0)
+
+
+def convolve0_zero_edges(x, kernel, axis_name, num_devices):
+    return convolve_zero_edges(x, kernel, axis_name, num_devices, axis=0)

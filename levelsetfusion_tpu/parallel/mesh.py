@@ -24,6 +24,21 @@ def make_mesh(num_devices: int | None = None, axis_name: str = "x") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_mesh_2d(
+    shape: Sequence[int], axis_names: Sequence[str] = ("x", "y")
+) -> Mesh:
+    """2D mesh for voxel-BLOCK (not slab) decomposition: spatial axes 0 and
+    1 shard over the two mesh axes. ``shape=(s0, s1)`` uses the first
+    ``s0*s1`` devices."""
+    import numpy as np
+
+    s0, s1 = shape
+    devices = jax.devices()[: s0 * s1]
+    if len(devices) < s0 * s1:
+        raise ValueError(f"need {s0 * s1} devices, have {len(devices)}")
+    return Mesh(np.array(devices).reshape(s0, s1), tuple(axis_names))
+
+
 def block_sharding(mesh: Mesh, axis_name: str = "x") -> NamedSharding:
     """Sharding that splits spatial axis 0 into voxel blocks."""
     return NamedSharding(mesh, P(axis_name))

@@ -1,0 +1,100 @@
+"""2D voxel-block sharding (axes 0 AND 1 over a 2D mesh) vs single-device
+parity — the same culture as tests/test_parallel.py, one mesh dimension up."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from levelsetfusion_tpu.models import SolverParams, solve_single_level
+from levelsetfusion_tpu.models.params import SmoothingMode
+from levelsetfusion_tpu.parallel.mesh import make_mesh_2d
+from levelsetfusion_tpu.parallel.sharded2d import solve_single_level_sharded2d
+
+
+def _fields(shape=(16, 16, 12)):
+    """Smooth sphere-SDF pair with a sub-voxel offset (displacements stay
+    well inside the live-halo contract at every iteration)."""
+    from tests.test_schur import _sphere
+
+    c = [s / 2.0 for s in shape]
+    canonical = _sphere(shape, c)
+    live = _sphere(shape, [c[0] + 0.6, c[1] + 0.4, c[2]])
+    return canonical, live
+
+
+def _parity(params, mesh_shape=(2, 4), live_halo=8, shape=(16, 16, 12)):
+    canonical, live = _fields(shape)
+    mesh = make_mesh_2d(mesh_shape)
+    ref = solve_single_level(canonical, live, params)
+    sh = solve_single_level_sharded2d(
+        canonical, live, params, mesh=mesh, live_halo=live_halo
+    )
+    assert int(sh.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(sh.warp), np.asarray(ref.warp), atol=2e-5, rtol=1e-4
+    )
+    n = int(ref.iterations)
+    for name in ("data_energy", "smoothing_energy", "level_set_energy",
+                 "max_warp_update", "mean_warp_update"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sh.telemetry, name))[:n],
+            np.asarray(getattr(ref.telemetry, name))[:n],
+            atol=1e-4, rtol=2e-4, err_msg=name,
+        )
+
+
+def test_parity_tikhonov_2x4():
+    _parity(SolverParams(max_iterations=20, learning_rate=0.3))
+
+
+def test_parity_sobolev_2x4():
+    _parity(
+        SolverParams(
+            max_iterations=15, learning_rate=0.3, sobolev_smoothing=True
+        )
+    )
+
+
+def test_parity_killing_levelset_2x4():
+    _parity(
+        SolverParams(
+            max_iterations=15,
+            learning_rate=0.3,
+            smoothing_mode=SmoothingMode.KILLING,
+            level_set_term_weight=0.1,
+            sobolev_smoothing=True,
+            adaptive_learning_rate=True,
+        )
+    )
+
+
+def test_parity_4x2_uneven_blocks():
+    _parity(
+        SolverParams(max_iterations=10, learning_rate=0.3,
+                     sobolev_smoothing=True),
+        mesh_shape=(4, 2),
+        shape=(16, 8, 12),
+    )
+
+
+def test_gspmd_2d_mesh_matches_single_device():
+    """The GSPMD auto path on a 2D mesh (VERDICT: earn or fold)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    canonical, live = _fields()
+    params = SolverParams(max_iterations=10, learning_rate=0.3,
+                          sobolev_smoothing=True)
+    ref = solve_single_level(canonical, live, params)
+    mesh = make_mesh_2d((2, 4))
+    sharding = NamedSharding(mesh, P("x", "y"))
+    auto = solve_single_level(
+        jax.device_put(canonical, sharding),
+        jax.device_put(live, sharding),
+        params,
+    )
+    assert int(auto.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(auto.warp), np.asarray(ref.warp), atol=1e-5
+    )
+    assert len(auto.warp.sharding.device_set) == 8
