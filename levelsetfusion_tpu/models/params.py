@@ -41,6 +41,11 @@ class SolverParams:
     # (clamped beyond); requires trailing spatial extent 128. Ignored off-TPU.
     use_pallas_resample: bool = False
     pallas_max_displacement: int = 2
+    # TPU fast path: fused data+smoothing+level-set(+Sobolev)+update kernel
+    # (ops/pallas/fused_gradient.py) for the stencil half of an iteration.
+    # Engages for 3D fields whose shape passes fused_supported(); exact
+    # (parity-tested) — falls back to the jnp assembly otherwise.
+    use_pallas_gradient: bool = False
     # Test hook: run the Pallas kernel in interpret mode (works on CPU) and
     # skip the TPU platform gate. Part of the static jit key.
     pallas_interpret: bool = False

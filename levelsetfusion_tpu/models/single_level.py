@@ -105,6 +105,29 @@ def solve_single_level(
         else None
     )
 
+    # Fused stencil+Sobolev+update kernel (ops/pallas/fused_gradient.py):
+    # statically gated on shape support; the loop then carries the warp
+    # component-major (3, x, y, z) — the layout both Pallas kernels want —
+    # so no per-iteration transposes happen.
+    use_fused = False
+    taps = ()
+    if params.use_pallas_gradient and d == 3:
+        from levelsetfusion_tpu.ops.pallas.fused_gradient import (
+            fused_supported,
+            sobolev_taps,
+        )
+
+        if fused_supported(
+            canonical.shape,
+            interpret=params.pallas_interpret,
+            sobolev=params.sobolev_smoothing,
+        ):
+            use_fused = True
+            if params.sobolev_smoothing:
+                taps = sobolev_taps(
+                    params.sobolev_kernel_size, params.sobolev_strength
+                )
+
     # Hoist the loop-invariant Pallas resample prep (stacked y-shifted copies
     # of the live field) out of the while_loop — XLA does not do this LICM.
     prepared_live = None
@@ -127,9 +150,10 @@ def solve_single_level(
             prepared_live = (stacked, flags)
 
     n = params.max_iterations
+    num_voxels = float(canonical.size)
     zeros = jnp.zeros((n,), canonical.dtype)
     init = _LoopState(
-        warp=initial_warp,
+        warp=jnp.moveaxis(initial_warp, -1, 0) if use_fused else initial_warp,
         iteration=jnp.zeros((), jnp.int32),
         max_update=jnp.full((), jnp.inf, canonical.dtype),
         learning_rate=jnp.asarray(params.learning_rate, canonical.dtype),
@@ -142,17 +166,70 @@ def solve_single_level(
             state.max_update >= params.convergence_threshold
         )
 
-    def body(state: _LoopState):
-        res = _solver_step(
-            canonical, live, state.warp, params, kernel, prepared_live
+    def _step_fused(warp_cm, rate):
+        """Resample + one fused stencil/Sobolev/update kernel call."""
+        from levelsetfusion_tpu.ops.gradient import EnergyBreakdown, SmoothingMode
+        from levelsetfusion_tpu.ops.interpolation import warp_field
+        from levelsetfusion_tpu.ops.pallas.fused_gradient import (
+            fused_gradient_update,
         )
-        update = -state.learning_rate * res.gradient
-        new_warp = state.warp + update
-        update_len = jnp.sqrt(jnp.sum(update * update, axis=-1))
-        max_update = jnp.max(update_len)
-        mean_update = jnp.mean(update_len)
 
-        energy = res.energies.total
+        if prepared_live is not None:
+            from levelsetfusion_tpu.ops.pallas.resample import (
+                pick_y_block,
+                warp_field_pallas_prepared,
+            )
+
+            stacked, flags = prepared_live
+            warped = warp_field_pallas_prepared(
+                stacked,
+                warp_cm,
+                params.pallas_max_displacement,
+                y_block=pick_y_block(live.shape),
+                interpret=params.pallas_interpret,
+                skip_flags=flags,
+                component_major=True,
+            )
+        else:
+            warped = warp_field(live, jnp.moveaxis(warp_cm, 0, -1))
+        new_warp, stats = fused_gradient_update(
+            warped,
+            canonical,
+            warp_cm,
+            rate,
+            w_data=params.data_term_weight,
+            w_smooth=params.smoothing_term_weight,
+            w_ls=params.level_set_term_weight,
+            killing=params.smoothing_mode is SmoothingMode.KILLING,
+            gamma=params.rigidity_enforcement_factor,
+            band_union=params.band_union_only,
+            taps=taps,
+            interpret=params.pallas_interpret,
+        )
+        energies = EnergyBreakdown(
+            data=stats.data_energy,
+            smoothing=stats.smoothing_energy,
+            level_set=stats.level_set_energy,
+        )
+        return new_warp, stats.max_update, stats.sum_update / num_voxels, energies
+
+    def body(state: _LoopState):
+        if use_fused:
+            new_warp, max_update, mean_update, energies = _step_fused(
+                state.warp, state.learning_rate
+            )
+        else:
+            res = _solver_step(
+                canonical, live, state.warp, params, kernel, prepared_live
+            )
+            update = -state.learning_rate * res.gradient
+            new_warp = state.warp + update
+            update_len = jnp.sqrt(jnp.sum(update * update, axis=-1))
+            max_update = jnp.max(update_len)
+            mean_update = jnp.mean(update_len)
+            energies = res.energies
+
+        energy = energies.total
         if params.adaptive_learning_rate:
             new_rate = jnp.where(
                 energy > state.prev_energy,
@@ -165,9 +242,9 @@ def solve_single_level(
         it = state.iteration
         tel = state.telemetry
         tel = SolveTelemetry(
-            data_energy=tel.data_energy.at[it].set(res.energies.data),
-            smoothing_energy=tel.smoothing_energy.at[it].set(res.energies.smoothing),
-            level_set_energy=tel.level_set_energy.at[it].set(res.energies.level_set),
+            data_energy=tel.data_energy.at[it].set(energies.data),
+            smoothing_energy=tel.smoothing_energy.at[it].set(energies.smoothing),
+            level_set_energy=tel.level_set_energy.at[it].set(energies.level_set),
             max_warp_update=tel.max_warp_update.at[it].set(max_update),
             mean_warp_update=tel.mean_warp_update.at[it].set(mean_update),
         )
@@ -182,7 +259,7 @@ def solve_single_level(
 
     final = jax.lax.while_loop(cond, body, init)
     return SolveResult(
-        warp=final.warp,
+        warp=jnp.moveaxis(final.warp, 0, -1) if use_fused else final.warp,
         iterations=final.iteration,
         converged=final.max_update < params.convergence_threshold,
         telemetry=final.telemetry,

@@ -367,7 +367,10 @@ def compute_skip_flags(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_displacement", "y_block", "interpret", "x_start"),
+    static_argnames=(
+        "max_displacement", "y_block", "interpret", "x_start",
+        "component_major",
+    ),
 )
 def warp_field_pallas_prepared(
     stacked: jnp.ndarray,
@@ -377,6 +380,7 @@ def warp_field_pallas_prepared(
     interpret: bool = False,
     skip_flags: jnp.ndarray | None = None,
     x_start: int = 0,
+    component_major: bool = False,
 ) -> jnp.ndarray:
     """Resample from a ``prepare_field`` result (3D only).
 
@@ -387,10 +391,17 @@ def warp_field_pallas_prepared(
     ``x_start``: output row i samples field row ``x_start + i + ux`` — lets
     callers resample an interior x window of a wider prepared field without
     padding the warp (the sharded solver's haloed live block).
+
+    ``component_major``: the warp is already ``(3, x, y, z)`` (the layout the
+    kernel wants and the fused gradient kernel produces) — skips the
+    moveaxis.
     """
     k = max_displacement
     n = 2 * k + 2
-    x_size, y_size, z_size = warp.shape[:3]
+    if component_major:
+        x_size, y_size, z_size = warp.shape[1:]
+    else:
+        x_size, y_size, z_size = warp.shape[:3]
     if z_size % _LANE:
         raise ValueError(f"z extent {z_size} not a multiple of {_LANE}")
     m = z_size // _LANE
@@ -408,7 +419,7 @@ def warp_field_pallas_prepared(
             f"x window [{x_start}, {x_start + x_size}) exceeds prepared "
             f"field extent {field_ext}"
         )
-    warp_cm = jnp.moveaxis(warp, -1, 0)
+    warp_cm = warp if component_major else jnp.moveaxis(warp, -1, 0)
 
     if m == 1:
         if skip_flags is None:
