@@ -85,6 +85,97 @@ class FusionPipelineConfig:
     warm_start: bool = True
 
 
+def fuse_sequence_sharded(
+    frames: Sequence[np.ndarray],
+    camera: PinholeCamera,
+    config: FusionPipelineConfig,
+    *,
+    mesh,
+    axis_name: str = "x",
+    live_halo: int = 8,
+    frame_callback: Callable[[int, FusionState, jnp.ndarray], None] | None = None,
+) -> FusionResult:
+    """Sharded twin of ``fuse_sequence`` (BASELINE configs 4 × 5): the
+    canonical/weights state, the per-frame live TSDF, the warp, and every
+    step — TSDF generation, the voxel-block-sharded warp solve, the
+    resample, the blend — stay sharded across the whole sequence; nothing
+    is ever gathered to one device.
+
+    - TSDF generation runs under jit with a sharded output layout (GSPMD
+      shards the per-voxel projection; the depth image is replicated).
+    - The warp solve is ``parallel.sharded.solve_single_level_sharded``
+      (ppermute halos, psum/pmax termination), warm-started per frame.
+    - The fusion resample is ``parallel.sharded.warp_field_sharded`` (one
+      explicit halo exchange); the blend is elementwise and keeps the
+      state's sharding.
+
+    Parity: tests/test_fusion_sharded.py asserts the final canonical equals
+    the single-device ``fuse_sequence`` to float tolerance.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from levelsetfusion_tpu.parallel.sharded import (
+        solve_single_level_sharded,
+        warp_field_sharded,
+    )
+
+    grid = config.grid
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def _gen(depth):
+        return generate_tsdf_3d(
+            depth,
+            camera,
+            grid,
+            narrow_band_width_voxels=config.narrow_band_width_voxels,
+            method=config.generation_method,
+        )
+
+    gen = jax.jit(_gen, out_shardings=sharding)
+
+    state = init_state(gen(jnp.asarray(frames[0])))
+    d = grid.dim
+    warp = jax.device_put(
+        jnp.zeros(grid.shape + (d,), state.canonical.dtype), sharding
+    )
+    reports: List[FrameReport] = []
+
+    for t in range(1, len(frames)):
+        live = gen(jnp.asarray(frames[t]))
+        init_warp = warp if config.warm_start else jnp.zeros_like(warp)
+        res = solve_single_level_sharded(
+            state.canonical,
+            live,
+            config.solver,
+            mesh=mesh,
+            axis_name=axis_name,
+            live_halo=live_halo,
+            initial_warp=init_warp,
+        )
+        warp = res.warp
+        iters = int(res.iterations)
+        e = float(res.telemetry.data_energy[max(iters - 1, 0)])
+
+        warped = warp_field_sharded(
+            live, warp, mesh=mesh, axis_name=axis_name, live_halo=live_halo
+        )
+        state = blend(state, warped)
+        band = int(jnp.sum(jnp.abs(state.canonical) < 1.0 - TRUNCATION_EPS))
+        reports.append(
+            FrameReport(
+                frame_index=t,
+                solver_iterations=iters,
+                final_data_energy=e,
+                band_voxels=band,
+            )
+        )
+        if frame_callback is not None:
+            frame_callback(t, state, warp)
+
+    return FusionResult(state=state, reports=reports, final_warp=warp)
+
+
 def fuse_sequence(
     frames: Sequence[np.ndarray],
     camera: PinholeCamera,
