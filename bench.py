@@ -22,8 +22,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 # Enough iterations that the ~24 ms remote-dispatch floor (axon tunnel; see
-# KERNEL_NOTES.md) is <10% of the measured solve.
-N_ITER = 100
+# KERNEL_NOTES.md) is <10% of the measured solve (~1 ms/iteration now).
+N_ITER = 300
 SHAPE = (128, 128, 128)
 CPU_SHAPE = (64, 64, 64)
 CPU_ITER = 5
@@ -56,6 +56,8 @@ def _params():
         convergence_threshold=0.0,  # run exactly max_iterations
         use_pallas_resample=on_tpu,
         pallas_max_displacement=2,
+        # Fused stencil+Sobolev+update kernel: 1.62 -> 1.02 ms/iter at 128³.
+        use_pallas_gradient=on_tpu,
     )
 
 

@@ -1,0 +1,140 @@
+"""BASELINE config 5 at its mandated scale (512³+): acceptance runs.
+
+Two modes (the per-commit test suite covers the same machinery at small
+shapes; this script is the full-scale demonstration, ~20 min on CPU):
+
+  --cpu-mesh   512³ volume sharded over 8 virtual CPU devices, reduced
+               iterations, warp parity vs the single-device solver.
+  --tpu-shard  the production per-shard block (64×512×512, z = 4 lane
+               slabs) solved on the real chip with the multi-slab Pallas
+               resample — the per-device work of a 512³/8-chip run.
+
+Results are recorded in BASELINE.md's measured table.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sphere_pair(shape, offset=0.01):
+    import numpy as np
+    import jax.numpy as jnp
+
+    x = np.linspace(-1, 1, shape[0], dtype=np.float32)[:, None, None]
+    y = np.linspace(-1, 1, shape[1], dtype=np.float32)[None, :, None]
+    z = np.linspace(-1, 1, shape[2], dtype=np.float32)[None, None, :]
+    r = np.sqrt(x * x + y * y + z * z)
+    canonical = jnp.asarray(np.clip((r - 0.5) * 8.0, -1, 1))
+    r2 = np.sqrt((x - offset) ** 2 + y * y + z * z)
+    live = jnp.asarray(np.clip((r2 - 0.5) * 8.0, -1, 1))
+    return canonical, live
+
+
+def cpu_mesh():
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from levelsetfusion_tpu.models.params import SolverParams
+    from levelsetfusion_tpu.models.single_level import solve_single_level
+    from levelsetfusion_tpu.parallel.sharded import solve_single_level_sharded
+
+    shape = (512, 512, 512)
+    canonical, live = _sphere_pair(shape)
+    params = SolverParams(
+        max_iterations=1, learning_rate=0.3, smoothing_term_weight=0.1,
+        sobolev_smoothing=True, convergence_threshold=0.0,
+    )
+
+    mesh = Mesh(np.array(jax.devices()), ("x",))
+    sh = NamedSharding(mesh, P("x"))
+    t0 = time.time()
+    res = solve_single_level_sharded(
+        jax.device_put(canonical, sh), jax.device_put(live, sh),
+        params, mesh=mesh, live_halo=8,
+    )
+    jax.block_until_ready(res.warp)
+    t_sharded = time.time() - t0
+
+    t0 = time.time()
+    ref = solve_single_level(canonical, live, params)
+    jax.block_until_ready(ref.warp)
+    t_single = time.time() - t0
+
+    err = float(np.max(np.abs(np.asarray(res.warp) - np.asarray(ref.warp))))
+    out = {
+        "mode": "cpu_mesh_512",
+        "shape": shape,
+        "devices": 8,
+        "iterations": int(res.iterations),
+        "warp_parity_max_abs_err": err,
+        "sharded_seconds": t_sharded,
+        "single_seconds": t_single,
+        "energies": [float(res.telemetry.data_energy[0]),
+                     float(res.telemetry.smoothing_energy[0])],
+    }
+    print(json.dumps(out))
+    assert err < 1e-5, err
+
+
+def tpu_shard():
+    import jax
+    import jax.numpy as jnp
+
+    from levelsetfusion_tpu.models.params import SmoothingMode, SolverParams
+    from levelsetfusion_tpu.models.single_level import solve_single_level
+
+    shape = (64, 512, 512)  # one shard of 512³ over 8 devices
+    canonical, live = _sphere_pair(shape)
+    n_iter = 30
+    params = SolverParams(
+        max_iterations=n_iter, learning_rate=0.3,
+        smoothing_term_weight=0.1, smoothing_mode=SmoothingMode.KILLING,
+        level_set_term_weight=0.1, sobolev_smoothing=True,
+        convergence_threshold=0.0, use_pallas_resample=True,
+    )
+
+    def sync(x):
+        return float(jnp.sum(x))
+
+    t0 = time.time()
+    res = solve_single_level(canonical, live, params)
+    sync(res.warp)
+    compile_s = time.time() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        res = solve_single_level(canonical, live, params)
+        sync(res.warp)
+        best = min(best, time.time() - t0)
+    voxels = shape[0] * shape[1] * shape[2]
+    rate = voxels * n_iter / best
+    out = {
+        "mode": "tpu_shard_64x512x512",
+        "shape": shape,
+        "iterations": n_iter,
+        "best_solve_seconds": best,
+        "compile_plus_first_seconds": compile_s,
+        "voxel_iter_per_s": rate,
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--cpu-mesh" in sys.argv:
+        cpu_mesh()
+    elif "--tpu-shard" in sys.argv:
+        tpu_shard()
+    else:
+        print("usage: config5_512_acceptance.py [--cpu-mesh | --tpu-shard]")

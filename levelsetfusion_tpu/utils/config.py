@@ -115,9 +115,10 @@ PRESETS: Dict[str, ExperimentConfig] = {
             smoothing_mode=SmoothingMode.KILLING,
             level_set_term_weight=0.1,
             sobolev_smoothing=True,
-            # Shape-gated dispatch: engages the Pallas kernel on TPU (trailing
-            # extent 128), golden jnp path elsewhere.
+            # Shape-gated dispatch: engages the Pallas kernels on TPU
+            # (trailing extent 128), golden jnp path elsewhere.
             use_pallas_resample=True,
+            use_pallas_gradient=True,
         ),
     ),
     # 4. 3D multi-frame frame-to-canonical fusion, Killing regularization.
@@ -134,6 +135,7 @@ PRESETS: Dict[str, ExperimentConfig] = {
             smoothing_mode=SmoothingMode.KILLING,
             max_iterations=80,
             use_pallas_resample=True,
+            use_pallas_gradient=True,
         ),
         dataset_kwargs={"width": 96, "height": 96},
     ),
@@ -146,6 +148,20 @@ PRESETS: Dict[str, ExperimentConfig] = {
         voxel_size=0.008,
         grid_offset=(-64, -32, 38),
         solver=_solver_3d(max_iterations=60, use_pallas_resample=True),
+        live_halo=8,
+    ),
+    # 5b. BASELINE's mandated scale for config 5: a 512³ volume sharded over
+    # the device mesh (64×512×512 per shard on 8 devices). On the virtual
+    # 8-device CPU mesh this validates correctness at reduced iterations;
+    # on a pod slice it is the production configuration. z = 4 lane slabs →
+    # the multi-slab Pallas resample runs per shard on TPU.
+    "config5_512": ExperimentConfig(
+        name="config5_512",
+        mode="sharded_3d",
+        grid_shape=(512, 512, 512),
+        voxel_size=0.004,
+        grid_offset=(-256, -256, 38),
+        solver=_solver_3d(max_iterations=30, use_pallas_resample=True),
         live_halo=8,
     ),
     # Rigid SDF-2-SDF (reference component §2.11).
