@@ -87,12 +87,15 @@ def _solver_3d(**kw) -> SolverParams:
 # The five BASELINE.md acceptance configurations.
 PRESETS: Dict[str, ExperimentConfig] = {
     # 1. 2D single depth-image-pair, dense grid, plain GD warp solve.
+    # Plain (un-preconditioned) GD needs ~450 iterations to pass its own
+    # 1e-3 max-warp-update gate on this pair — budgeted so the flagship
+    # acceptance case reports converged: True (measured: converges at 442).
     "config1_2d_pair": ExperimentConfig(
         name="config1_2d_pair",
         mode="single_pair_2d",
         grid_shape=(96, 48),
         grid_offset=(-48, 85),
-        solver=_solver_2d(),
+        solver=_solver_2d(max_iterations=600),
     ),
     # 2. 2D hierarchical coarse-to-fine with Sobolev-smoothed gradients.
     "config2_2d_hierarchical": ExperimentConfig(
@@ -116,9 +119,16 @@ PRESETS: Dict[str, ExperimentConfig] = {
             level_set_term_weight=0.1,
             sobolev_smoothing=True,
             # Shape-gated dispatch: engages the Pallas kernels on TPU
-            # (trailing extent 128), golden jnp path elsewhere.
+            # (trailing extent 128), golden jnp path elsewhere. The pair's
+            # true displacement is ~6 voxels, so the resample's exactness
+            # window must cover it (the kernel's active-shift ranges keep
+            # the per-iteration cost nearly flat in K).
             use_pallas_resample=True,
             use_pallas_gradient=True,
+            pallas_max_displacement=6,
+            # Plain GD's diffusion tail needs ~1k iterations to pass the
+            # 1e-3 max-warp-update gate (measured: 0.0015 at 800).
+            max_iterations=1200,
         ),
     ),
     # 4. 3D multi-frame frame-to-canonical fusion, Killing regularization.
@@ -170,5 +180,12 @@ PRESETS: Dict[str, ExperimentConfig] = {
         mode="rigid_2d",
         grid_shape=(96, 48),
         grid_offset=(-48, 85),
+    ),
+    "rigid_3d": ExperimentConfig(
+        name="rigid_3d",
+        mode="rigid_3d",
+        grid_shape=(32, 32, 24),
+        voxel_size=0.008,
+        grid_offset=(-16, -16, 42),
     ),
 }
