@@ -13,6 +13,7 @@ video. Multi-frame runs resume from the latest checkpoint with ``--resume``.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import sys
 import time
@@ -237,18 +238,34 @@ def run_experiment(
         from levelsetfusion_tpu.parallel import make_mesh, solve_single_level_sharded
 
         canonical, live = _pair_3d(cfg, grid)
-        mesh = make_mesh(cfg.num_devices)
-        res = solve_single_level_sharded(
-            canonical, live, cfg.solver, mesh=mesh, live_halo=cfg.live_halo
-        )
+        if cfg.mesh_shape is not None:
+            # 2D voxel-block mesh: spatial axes 0 and 1 shard.
+            from levelsetfusion_tpu.parallel.mesh import make_mesh_2d
+            from levelsetfusion_tpu.parallel.sharded2d import (
+                solve_single_level_sharded2d,
+            )
+
+            mesh = make_mesh_2d(cfg.mesh_shape)
+            res = solve_single_level_sharded2d(
+                canonical, live, cfg.solver, mesh=mesh,
+                live_halo=cfg.live_halo,
+            )
+        else:
+            mesh = make_mesh(cfg.num_devices)
+            res = solve_single_level_sharded(
+                canonical, live, cfg.solver, mesh=mesh, live_halo=cfg.live_halo
+            )
         logger.log_solve(res)
         rows = telemetry_to_rows(res.telemetry, res.iterations)
         write_run_artifacts(out_dir, rows, canonical, live, warp=res.warp)
-        from levelsetfusion_tpu.parallel.sharded import warp_field_sharded
+        if cfg.mesh_shape is not None:
+            warped = warp_field(live, res.warp)  # GSPMD shards the gather
+        else:
+            from levelsetfusion_tpu.parallel.sharded import warp_field_sharded
 
-        warped = warp_field_sharded(
-            live, res.warp, mesh=mesh, live_halo=cfg.live_halo
-        )
+            warped = warp_field_sharded(
+                live, res.warp, mesh=mesh, live_halo=cfg.live_halo
+            )
         return logger.finish(
             devices=int(np.prod(list(mesh.shape.values()))),
             iterations=int(res.iterations),
@@ -418,6 +435,12 @@ def main(argv=None):
         action="store_true",
         help="capture a jax.profiler trace of the run under <out>/trace/",
     )
+    ap.add_argument(
+        "--check-nans",
+        action="store_true",
+        help="run under XLA NaN checking (jax_debug_nans; slow, for "
+        "debugging diverging solves)",
+    )
     args = ap.parse_args(argv)
 
     if args.list:
@@ -438,15 +461,23 @@ def main(argv=None):
     else:
         ap.error("need --preset or --config")
     out = args.out or os.path.join("runs", cfg.name)
-    if args.profile:
-        from levelsetfusion_tpu.utils.profiling import trace
+    ctx = contextlib.nullcontext()
+    if args.check_nans:
+        from levelsetfusion_tpu.utils.debug import nan_checks
 
-        with trace(os.path.join(out, "trace")):
+        ctx = nan_checks()
+    with ctx:
+        if args.profile:
+            from levelsetfusion_tpu.utils.profiling import trace
+
+            with trace(os.path.join(out, "trace")):
+                summary = run_experiment(
+                    cfg, out, resume=args.resume, verbose=args.verbose
+                )
+        else:
             summary = run_experiment(
                 cfg, out, resume=args.resume, verbose=args.verbose
             )
-    else:
-        summary = run_experiment(cfg, out, resume=args.resume, verbose=args.verbose)
     print(f"run complete -> {out}")
     for k, v in summary.items():
         print(f"  {k}: {v}")

@@ -33,6 +33,9 @@ class ExperimentConfig:
     num_frames: int = 4
     checkpoint_every: int = 0  # frames; 0 = off
     num_devices: Optional[int] = None  # sharded mode: defaults to all
+    # Sharded mode mesh: None = 1D (axis-0 slabs over num_devices); a pair
+    # (s0, s1) = 2D voxel-block mesh (axes 0 and 1; parallel/sharded2d).
+    mesh_shape: Optional[Tuple[int, int]] = None
     live_halo: int = 8
 
     def to_json(self) -> str:
@@ -55,8 +58,8 @@ class ExperimentConfig:
             if isinstance(s.get("smoothing_mode"), str):
                 s["smoothing_mode"] = SmoothingMode(s["smoothing_mode"])
             d["solver"] = SolverParams(**s)
-        for key in ("grid_shape", "grid_offset"):
-            if key in d:
+        for key in ("grid_shape", "grid_offset", "mesh_shape"):
+            if d.get(key) is not None:
                 d[key] = tuple(d[key])
         return ExperimentConfig(**d)
 

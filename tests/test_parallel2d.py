@@ -98,3 +98,31 @@ def test_gspmd_2d_mesh_matches_single_device():
         np.asarray(auto.warp), np.asarray(ref.warp), atol=1e-5
     )
     assert len(auto.warp.sharding.device_set) == 8
+
+
+def test_cli_sharded_mode_2d_mesh(tmp_path):
+    """The sharded CLI mode on a 2D voxel-block mesh (config-5 preset
+    machinery at test scale)."""
+    import dataclasses
+
+    from levelsetfusion_tpu.cli import run_experiment
+    from levelsetfusion_tpu.utils.config import PRESETS, ExperimentConfig
+
+    base = PRESETS["config5_sharded"]
+    cfg = dataclasses.replace(
+        base,
+        name="c5_2dmesh",
+        grid_shape=(16, 16, 16),
+        grid_offset=(-8, -8, 38),
+        mesh_shape=(2, 4),
+        live_halo=4,
+        solver=base.solver.replace(
+            max_iterations=6, use_pallas_resample=False
+        ),
+    )
+    # JSON round-trip keeps the mesh shape.
+    assert ExperimentConfig.from_json(cfg.to_json()) == cfg
+    s = run_experiment(cfg, str(tmp_path / "run"))
+    assert s["devices"] == 8
+    assert s["iterations"] == 6
+    assert s["residual_reduction"] > 0
