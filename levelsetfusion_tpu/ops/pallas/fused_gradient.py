@@ -85,6 +85,148 @@ def _roll(a, s, axis):
     return jnp.roll(a, -s, axis=axis)
 
 
+def _make_derivs(is0, isn, y_first, y_last, z_first, z_last):
+    """np.gradient-convention first derivatives + replicated-edge Laplacian.
+
+    The edge predicates are *global-coordinate* masks (vectors broadcast over
+    the window); one-sided forms at global edges never touch the wrapped
+    operand, so the stencils compose (Hessian, ∇(∇·u)) without ghost rows.
+    Shared by the whole-volume and y-tiled kernels — the masks differ, the
+    math must not.
+    """
+
+    def d0(a):
+        p, m = _roll(a, 1, 0), _roll(a, -1, 0)
+        return jnp.where(is0, p - a, jnp.where(isn, a - m, 0.5 * (p - m)))
+
+    def d1(a):
+        p, m = _roll(a, 1, 1), _roll(a, -1, 1)
+        return jnp.where(y_first, p - a, jnp.where(y_last, a - m, 0.5 * (p - m)))
+
+    def d2(a):
+        p, m = _roll(a, 1, 2), _roll(a, -1, 2)
+        return jnp.where(z_first, p - a, jnp.where(z_last, a - m, 0.5 * (p - m)))
+
+    def lap3(a):
+        """1-(-2)-1 per axis with replicated edges: ghost == edge row, so the
+        edge value is (neighbor − self)."""
+        p, m = _roll(a, 1, 0), _roll(a, -1, 0)
+        out = jnp.where(is0, p - a, jnp.where(isn, m - a, p + m - 2.0 * a))
+        p, m = _roll(a, 1, 1), _roll(a, -1, 1)
+        out = out + jnp.where(y_first, p - a, jnp.where(y_last, m - a, p + m - 2.0 * a))
+        p, m = _roll(a, 1, 2), _roll(a, -1, 2)
+        out = out + jnp.where(z_first, p - a, jnp.where(z_last, m - a, p + m - 2.0 * a))
+        return out
+
+    return (d0, d1, d2), lap3
+
+
+def _assemble_terms(
+    w, c, u, dd, lap3, isum, *,
+    w_data, w_smooth, w_ls, killing, gamma, band_union,
+):
+    """Data + smoothing + level-set gradients and (interior-masked) energies.
+
+    Pure in-register math on an already-windowed (xw, Y', Z) view; identical
+    between the whole-volume and y-tiled kernels.
+    Returns ``(total[3], e_data, e_smooth, e_ls)``.
+    """
+    d0, d1, d2 = dd
+
+    # --- data term ---------------------------------------------------------
+    g_w = [d0(w), d1(w), d2(w)]  # ∇Φ_w, np.gradient convention
+    diff = w - c
+    if band_union:
+        mask = (jnp.abs(c) < 1.0 - _TRUNC_EPS) | (jnp.abs(w) < 1.0 - _TRUNC_EPS)
+        diff = jnp.where(mask, diff, 0.0)
+    total = [w_data * diff * g_w[k] for k in range(3)]
+
+    # --- smoothing term ----------------------------------------------------
+    e_smooth = jnp.zeros((), jnp.float32)
+    if w_smooth != 0.0:
+        # Jacobian J[c][d] = d_d(u_c); the diagonal doubles as the divergence.
+        jac = [[dd[di](u[ci]) for di in range(3)] for ci in range(3)]
+        if killing:
+            div = jac[0][0] + jac[1][1] + jac[2][2]
+            gdiv = [d0(div), d1(div), d2(div)]
+            for k in range(3):
+                total[k] = total[k] + w_smooth * (
+                    -(1.0 + gamma) * lap3(u[k]) - gdiv[k]
+                )
+            e_sym = jnp.zeros((), jnp.float32)
+            e_jac = jnp.zeros((), jnp.float32)
+            for ci in range(3):
+                for di in range(3):
+                    s_cd = jac[ci][di] + jac[di][ci]
+                    e_sym = e_sym + isum(s_cd * s_cd)
+                    e_jac = e_jac + isum(jac[ci][di] * jac[ci][di])
+            e_smooth = w_smooth * 0.5 * (0.5 * e_sym + gamma * e_jac)
+        else:
+            for k in range(3):
+                total[k] = total[k] + w_smooth * (-lap3(u[k]))
+            e_jac = jnp.zeros((), jnp.float32)
+            for ci in range(3):
+                for di in range(3):
+                    e_jac = e_jac + isum(jac[ci][di] * jac[ci][di])
+            e_smooth = w_smooth * 0.5 * e_jac
+
+    # --- level-set term ----------------------------------------------------
+    e_ls = jnp.zeros((), jnp.float32)
+    if w_ls != 0.0:
+        norm = jnp.sqrt(g_w[0] * g_w[0] + g_w[1] * g_w[1] + g_w[2] * g_w[2])
+        scale = (norm - 1.0) / (norm + _LS_EPS)
+        if band_union:
+            scale = jnp.where(mask, scale, 0.0)
+            e_terms = jnp.where(mask, (norm - 1.0) ** 2, 0.0)
+        else:
+            e_terms = (norm - 1.0) ** 2
+        for gi in range(3):
+            # Row gi of the Hessian dotted with ∇Φ_w: Σ_j d_j(g_gi)·g_j.
+            hg = jnp.zeros_like(w)
+            for j in range(3):
+                hg = hg + dd[j](g_w[gi]) * g_w[j]
+            total[gi] = total[gi] + w_ls * scale * hg
+        e_ls = w_ls * 0.5 * isum(e_terms)
+
+    e_data = w_data * 0.5 * isum(diff * diff)
+    return total, e_data, e_smooth, e_ls
+
+
+def _conv_x_staged(a, conv_ref, xw, taps):
+    """Separable x-conv via physical zero borders in a VMEM scratch + static
+    leading-dim slices: no selects (a broadcast select with an (xw,1,1)
+    predicate costs ~14 µs — measured — and leading-dim slices of refs are
+    vreg-speed). The clamped window makes window edge == global domain edge
+    exactly when the zero padding must be visible (first/last block), so the
+    border is exact there and unread everywhere else (conv reads stay in the
+    validity slack)."""
+    k = len(taps)
+    r = k // 2
+    conv_ref[:r] = jnp.zeros((r,) + a.shape[1:], a.dtype)
+    conv_ref[r : r + xw] = a
+    conv_ref[r + xw :] = jnp.zeros((r,) + a.shape[1:], a.dtype)
+    out = None
+    for t in range(k):
+        term = taps[k - 1 - t] * conv_ref[t : t + xw]
+        out = term if out is None else out + term
+    return out
+
+
+def _conv_lane(a, axis, vec, size, taps):
+    """y/z separable conv with zero padding at *global* edges via masked
+    sublane/lane rolls: (1,Y,1)/(1,1,Z) predicates vectorize cheaply (unlike
+    leading-dim ones). ``vec`` holds global coordinates along ``axis`` and
+    ``size`` the global extent, so windowed kernels mask pad-row reads."""
+    r = len(taps) // 2
+    out = taps[r] * a
+    for s in range(1, r + 1):
+        ok_p = vec + s <= size - 1
+        ok_m = vec - s >= 0
+        out = out + taps[r - s] * jnp.where(ok_p, _roll(a, s, axis), 0.0)
+        out = out + taps[r + s] * jnp.where(ok_m, _roll(a, -s, axis), 0.0)
+    return out
+
+
 def _fused_kernel(
     meta_ref,  # scalar-prefetch int32 (2,): [x_offset, x_global_minus_1]
     rate_ref,  # scalar-prefetch f32  (1,): learning rate
