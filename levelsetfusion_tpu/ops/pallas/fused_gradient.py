@@ -1,4 +1,4 @@
-"""Fused gradient+update Pallas TPU kernel (BASELINE north_star: "per-voxel
+"""Fused gradient+update Pallas TPU kernels (BASELINE north_star: "per-voxel
 Python gradient assembly -> fused vectorized data+smoothing+level-set
 gradient kernel").
 
@@ -16,19 +16,30 @@ Why a kernel: XLA runs these stencils as ~30 separate HBM round trips
 (measured 0.52 ms/iteration at 128³, ~4× over the HBM roofline); fused, the
 traffic is just the live inputs + the updated warp (~64 MB at 128³).
 
+Two lowering strategies share one math implementation (``_make_derivs`` /
+``_assemble_terms`` / ``_conv_x_staged`` / ``_conv_lane``):
+
+1. ``_fused_kernel`` — **whole-volume**: the five inputs sit whole in VMEM
+   (one DMA per pass) and a 1D x grid carves clamped leading-dim windows
+   (vreg speed). Fastest; caps at ~128³-class volumes (5·X·Y·Z·4 B resident).
+2. ``_fused_kernel_tiled`` — **y-tiled**: inputs stay in HBM (``ANY``); a
+   2D (x, y) grid manually DMAs overlapping (xw, yw, Z) windows into
+   double-buffered VMEM scratch (the copy for step k+1 is issued before step
+   k's compute, hiding the DMA). This is the config-5 per-shard path:
+   ``fused_supported((64 + 2h, 512, 512))`` holds here.
+
 Design notes (the measured TPU rules that shape the code):
 
-- **Whole-array VMEM inputs + in-kernel windows.** Per-grid-step
+- **Whole-array VMEM inputs + in-kernel windows** (kernel 1). Per-grid-step
   ``pl.Element`` halo windows cost ~105 µs of fixed DMA overhead each
-  (measured: 3 inputs × 4 steps ≈ 1.26 ms — 4× the actual math). Instead
-  the unpadded inputs sit whole in VMEM and each grid step carves an
-  x window with a clamped dynamic leading-dim slice (vreg speed).
+  (measured: 3 inputs × 4 steps ≈ 1.26 ms — 4× the actual math); manual
+  double-buffered ``make_async_copy`` (kernel 2) avoids that fixed cost.
 - **No XLA pre-padding.** Edge handling is mask-based (one-sided
   difference forms at global edges), so the inputs are consumed as-is —
   padding cost ~83 MB/iteration of pure HBM traffic in the padded design.
-- **Exactly two scalar→vector mixes per block.** Any vector op mixing in a
-  dynamic scalar costs ~7.6 µs (KERNEL_NOTES.md). The global-row vector
-  ``grow`` and its end-anchored twin are built once; every edge mask is
+- **Few scalar→vector mixes per block.** Any vector op mixing in a
+  dynamic scalar costs ~7.6 µs (KERNEL_NOTES.md). Global-row vectors and
+  their end-anchored twins are built once per axis; every edge mask is
   then vector-vs-constant.
 - **np.gradient / Laplacian edge conventions** (the framework's pinned
   numerics, ops/derivatives.py) are reproduced with masked selects; the
@@ -36,20 +47,28 @@ Design notes (the measured TPU rules that shape the code):
   ghost rows.
 - **Axis shifts**: x (leading dim) / y (sublane) / z (lane) neighbor access
   is ``jnp.roll`` with static shifts; wrap garbage lands outside the
-  validity slack (h rows each side) or is masked (Sobolev x-conv).
+  validity slack (h rows each side) or is masked (Sobolev convs).
 - **Warp is component-major** ``(3, x, y, z)`` in and out — a trailing
   3-channel dim lane-pads 3→128 in VMEM (42× DMA inflation, measured).
 - **Scalars ride scalar-prefetch**; energies/stats accumulate in an SMEM
   output across the (sequential) grid steps.
+- **DMA window alignment**: y window offsets are kept multiples of 8
+  (sublane) by using an 8-row y halo; x offsets ride the leading dim
+  (arbitrary); z is always full-width.
 
-The ``x_lo``/``x_len``/``x_offset``/``x_global`` parameters let the sharded
-solver run the same kernel per voxel block: inputs carry halo rows, the
-output covers the interior, and the global-edge masks fire only at mesh
-ends.
+Sharded use (parallel/sharded.py, parallel/schur.py, parallel/sharded2d.py):
+inputs carry halo rows, ``x_lo``/``x_len`` (and ``y_lo``/``y_len``) select
+the block interior, ``x_offset``/``y_offset`` give input row 0's global
+coordinate (traced — they differ per shard under shard_map), and the
+global-edge masks fire only at mesh ends. Contract: ``x_lo == 0`` or
+``x_lo >= h`` with ``h`` trailing halo rows; ``y_lo == 0`` or a multiple of
+8 that is >= 8, with 8 trailing halo rows. ``conv_local_x`` switches the
+Sobolev x-conv's zero boundary from the global domain edge to the block
+interior edge — the Schur solver's block-local filtering convention.
 
-Parity: tests/test_fused_gradient.py asserts interpret-mode equality with
-the pure-jnp assembly (ops/gradient.py + ops/sobolev.py + the update step)
-to float tolerance, including all global-edge rows.
+Parity: tests/test_fused_gradient.py asserts interpret-mode equality of both
+kernels with the pure-jnp assembly (ops/gradient.py + ops/sobolev.py + the
+update step) to float tolerance, including all global-edge rows.
 
 Reference anchor: SURVEY.md §2.4–§2.7, §3.1 hot loop #2 (file:line citations
 into /root/reference are impossible — the mount is empty; see SURVEY.md §0).
@@ -69,6 +88,7 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 _TRUNC_EPS = 1e-5  # terms.TRUNCATION_EPS
 _LS_EPS = 1e-5
+_YH = 8  # y halo of the tiled kernel: >= max stencil radius 5, sublane-sized
 
 
 class FusedStats(NamedTuple):
@@ -128,7 +148,9 @@ def _assemble_terms(
     """Data + smoothing + level-set gradients and (interior-masked) energies.
 
     Pure in-register math on an already-windowed (xw, Y', Z) view; identical
-    between the whole-volume and y-tiled kernels.
+    between the whole-volume and y-tiled kernels.  Energy squares accumulate
+    into arrays first (one masked reduction each — a broadcast select with a
+    leading-dim predicate costs ~14 µs, so ``isum`` calls are rationed).
     Returns ``(total[3], e_data, e_smooth, e_ls)``.
     """
     d0, d1, d2 = dd
@@ -146,6 +168,11 @@ def _assemble_terms(
     if w_smooth != 0.0:
         # Jacobian J[c][d] = d_d(u_c); the diagonal doubles as the divergence.
         jac = [[dd[di](u[ci]) for di in range(3)] for ci in range(3)]
+        sq_jac = None
+        for ci in range(3):
+            for di in range(3):
+                t = jac[ci][di] * jac[ci][di]
+                sq_jac = t if sq_jac is None else sq_jac + t
         if killing:
             div = jac[0][0] + jac[1][1] + jac[2][2]
             gdiv = [d0(div), d1(div), d2(div)]
@@ -153,22 +180,19 @@ def _assemble_terms(
                 total[k] = total[k] + w_smooth * (
                     -(1.0 + gamma) * lap3(u[k]) - gdiv[k]
                 )
-            e_sym = jnp.zeros((), jnp.float32)
-            e_jac = jnp.zeros((), jnp.float32)
+            sq_sym = None
             for ci in range(3):
                 for di in range(3):
                     s_cd = jac[ci][di] + jac[di][ci]
-                    e_sym = e_sym + isum(s_cd * s_cd)
-                    e_jac = e_jac + isum(jac[ci][di] * jac[ci][di])
-            e_smooth = w_smooth * 0.5 * (0.5 * e_sym + gamma * e_jac)
+                    t = s_cd * s_cd
+                    sq_sym = t if sq_sym is None else sq_sym + t
+            e_smooth = w_smooth * 0.5 * (
+                0.5 * isum(sq_sym) + gamma * isum(sq_jac)
+            )
         else:
             for k in range(3):
                 total[k] = total[k] + w_smooth * (-lap3(u[k]))
-            e_jac = jnp.zeros((), jnp.float32)
-            for ci in range(3):
-                for di in range(3):
-                    e_jac = e_jac + isum(jac[ci][di] * jac[ci][di])
-            e_smooth = w_smooth * 0.5 * e_jac
+            e_smooth = w_smooth * 0.5 * isum(sq_jac)
 
     # --- level-set term ----------------------------------------------------
     e_ls = jnp.zeros((), jnp.float32)
@@ -192,19 +216,32 @@ def _assemble_terms(
     return total, e_data, e_smooth, e_ls
 
 
-def _conv_x_staged(a, conv_ref, xw, taps):
+def _conv_x_staged(a, conv_ref, xw, taps, row_valid=None, need_mask=None):
     """Separable x-conv via physical zero borders in a VMEM scratch + static
     leading-dim slices: no selects (a broadcast select with an (xw,1,1)
     predicate costs ~14 µs — measured — and leading-dim slices of refs are
-    vreg-speed). The clamped window makes window edge == global domain edge
-    exactly when the zero padding must be visible (first/last block), so the
-    border is exact there and unread everywhere else (conv reads stay in the
-    validity slack)."""
+    vreg-speed). The clamped window makes window edge == array edge exactly
+    when the zero padding must be visible (first/last block of an unsharded
+    volume), so the border is exact there and unread everywhere else (conv
+    reads stay in the validity slack).
+
+    ``row_valid``/``need_mask``: for sharded blocks whose window contains
+    rows outside the conv's zero boundary (global-edge halo fill, or — under
+    ``conv_local_x`` — the halo itself), re-stage those rows as zeros. The
+    masked write runs under ``pl.when(need_mask)`` so interior blocks pay
+    nothing.
+    """
     k = len(taps)
     r = k // 2
     conv_ref[:r] = jnp.zeros((r,) + a.shape[1:], a.dtype)
     conv_ref[r : r + xw] = a
     conv_ref[r + xw :] = jnp.zeros((r,) + a.shape[1:], a.dtype)
+    if row_valid is not None:
+
+        @pl.when(need_mask)
+        def _():
+            conv_ref[r : r + xw] = jnp.where(row_valid, a, 0.0)
+
     out = None
     for t in range(k):
         term = taps[k - 1 - t] * conv_ref[t : t + xw]
@@ -212,23 +249,25 @@ def _conv_x_staged(a, conv_ref, xw, taps):
     return out
 
 
-def _conv_lane(a, axis, vec, size, taps):
+def _conv_lane(a, axis, vec, vec_end, taps):
     """y/z separable conv with zero padding at *global* edges via masked
     sublane/lane rolls: (1,Y,1)/(1,1,Z) predicates vectorize cheaply (unlike
     leading-dim ones). ``vec`` holds global coordinates along ``axis`` and
-    ``size`` the global extent, so windowed kernels mask pad-row reads."""
+    ``vec_end`` their end-anchored twin (0 at the global last slice), so
+    every mask is a vector-vs-constant compare and windowed kernels mask
+    out-of-domain reads."""
     r = len(taps) // 2
     out = taps[r] * a
     for s in range(1, r + 1):
-        ok_p = vec + s <= size - 1
-        ok_m = vec - s >= 0
+        ok_p = vec_end <= -s  # read row's global coord <= global last
+        ok_m = vec >= s  # read row's global coord >= 0
         out = out + taps[r - s] * jnp.where(ok_p, _roll(a, s, axis), 0.0)
         out = out + taps[r + s] * jnp.where(ok_m, _roll(a, -s, axis), 0.0)
     return out
 
 
 def _fused_kernel(
-    meta_ref,  # scalar-prefetch int32 (2,): [x_offset, x_global_minus_1]
+    meta_ref,  # scalar-prefetch int32 (4,): [x_offset, xg-1, y_offset, yg-1]
     rate_ref,  # scalar-prefetch f32  (1,): learning rate
     warped_ref,  # (XL, Y, Z)  warped-live, whole array in VMEM
     canon_ref,  # (XL, Y, Z)  canonical, whole array in VMEM
@@ -241,6 +280,7 @@ def _fused_kernel(
     xb: int,
     h: int,
     x_lo: int,
+    x_len: int,
     w_data: float,
     w_smooth: float,
     w_ls: float,
@@ -248,6 +288,7 @@ def _fused_kernel(
     gamma: float,
     band_union: bool,
     taps: tuple,
+    conv_local_x: bool = False,
 ):
     i = pl.program_id(0)
     xl = warped_ref.shape[0]
@@ -260,9 +301,10 @@ def _fused_kernel(
     off = jnp.clip(x_lo + i * xb - h, 0, xl - xw)
     sl_start = x_lo + i * xb - off
 
-    # --- global row coordinates: the only scalar→vector mixes in the body ---
+    # --- global row coordinates: the few scalar→vector mixes in the body ---
     rows = jax.lax.broadcasted_iota(jnp.int32, (xw, 1, 1), 0)
-    grow = rows + (off + meta_ref[0])  # global row of each window row
+    brow = rows + off  # input-array row of each window row
+    grow = brow + meta_ref[0]  # global row of each window row
     gend = grow - meta_ref[1]  # 0 at the global last row
     is0 = grow == 0
     isn = gend == 0
@@ -278,134 +320,42 @@ def _fused_kernel(
     y_first, y_last = yv == 0, yv == ysz - 1
     z_first, z_last = zv == 0, zv == zsz - 1
 
-    # --- derivative helpers (ops/derivatives.py conventions, in-register).
-    # One-sided forms at edges never touch the wrapped operand, so they
-    # compose (Hessian, ∇(∇·u)) without ghost rows.
-    def d0(a):
-        p, m = _roll(a, 1, 0), _roll(a, -1, 0)
-        return jnp.where(is0, p - a, jnp.where(isn, a - m, 0.5 * (p - m)))
-
-    def d1(a):
-        p, m = _roll(a, 1, 1), _roll(a, -1, 1)
-        return jnp.where(y_first, p - a, jnp.where(y_last, a - m, 0.5 * (p - m)))
-
-    def d2(a):
-        p, m = _roll(a, 1, 2), _roll(a, -1, 2)
-        return jnp.where(z_first, p - a, jnp.where(z_last, a - m, 0.5 * (p - m)))
-
-    def lap3(a):
-        """1-(-2)-1 per axis with replicated edges: ghost == edge row, so the
-        edge value is (neighbor − self)."""
-        p, m = _roll(a, 1, 0), _roll(a, -1, 0)
-        out = jnp.where(is0, p - a, jnp.where(isn, m - a, p + m - 2.0 * a))
-        p, m = _roll(a, 1, 1), _roll(a, -1, 1)
-        out = out + jnp.where(y_first, p - a, jnp.where(y_last, m - a, p + m - 2.0 * a))
-        p, m = _roll(a, 1, 2), _roll(a, -1, 2)
-        out = out + jnp.where(z_first, p - a, jnp.where(z_last, m - a, p + m - 2.0 * a))
-        return out
+    dd, lap3 = _make_derivs(is0, isn, y_first, y_last, z_first, z_last)
 
     w = warped_ref[pl.ds(off, xw)]
     c = canon_ref[pl.ds(off, xw)]
     u = [warp_ref[k, pl.ds(off, xw)] for k in range(3)]
 
-    # --- data term -----------------------------------------------------------
-    g_w = [d0(w), d1(w), d2(w)]  # ∇Φ_w, np.gradient convention
-    diff = w - c
-    if band_union:
-        mask = (jnp.abs(c) < 1.0 - _TRUNC_EPS) | (jnp.abs(w) < 1.0 - _TRUNC_EPS)
-        diff = jnp.where(mask, diff, 0.0)
-    total = [w_data * diff * g_w[k] for k in range(3)]
+    total, e_data, e_smooth, e_ls = _assemble_terms(
+        w, c, u, dd, lap3, isum,
+        w_data=w_data, w_smooth=w_smooth, w_ls=w_ls,
+        killing=killing, gamma=gamma, band_union=band_union,
+    )
 
-    # --- smoothing term ------------------------------------------------------
-    e_smooth = jnp.zeros((), jnp.float32)
-    if w_smooth != 0.0:
-        # Jacobian J[c][d] = d_d(u_c); the diagonal doubles as the divergence.
-        dd = (d0, d1, d2)
-        jac = [[dd[di](u[ci]) for di in range(3)] for ci in range(3)]
-        if killing:
-            div = jac[0][0] + jac[1][1] + jac[2][2]
-            gdiv = [d0(div), d1(div), d2(div)]
-            for k in range(3):
-                total[k] = total[k] + w_smooth * (
-                    -(1.0 + gamma) * lap3(u[k]) - gdiv[k]
-                )
-            e_sym = jnp.zeros((), jnp.float32)
-            e_jac = jnp.zeros((), jnp.float32)
-            for ci in range(3):
-                for di in range(3):
-                    s_cd = jac[ci][di] + jac[di][ci]
-                    e_sym = e_sym + isum(s_cd * s_cd)
-                    e_jac = e_jac + isum(jac[ci][di] * jac[ci][di])
-            e_smooth = w_smooth * 0.5 * (0.5 * e_sym + gamma * e_jac)
-        else:
-            for k in range(3):
-                total[k] = total[k] + w_smooth * (-lap3(u[k]))
-            e_jac = jnp.zeros((), jnp.float32)
-            for ci in range(3):
-                for di in range(3):
-                    e_jac = e_jac + isum(jac[ci][di] * jac[ci][di])
-            e_smooth = w_smooth * 0.5 * e_jac
-
-    # --- level-set term ------------------------------------------------------
-    e_ls = jnp.zeros((), jnp.float32)
-    if w_ls != 0.0:
-        norm = jnp.sqrt(g_w[0] * g_w[0] + g_w[1] * g_w[1] + g_w[2] * g_w[2])
-        scale = (norm - 1.0) / (norm + _LS_EPS)
-        if band_union:
-            scale = jnp.where(mask, scale, 0.0)
-            e_terms = jnp.where(mask, (norm - 1.0) ** 2, 0.0)
-        else:
-            e_terms = (norm - 1.0) ** 2
-        dd = (d0, d1, d2)
-        for gi in range(3):
-            # Row gi of the Hessian dotted with ∇Φ_w: Σ_j d_j(g_gi)·g_j.
-            hg = jnp.zeros_like(w)
-            for j in range(3):
-                hg = hg + dd[j](g_w[gi]) * g_w[j]
-            total[gi] = total[gi] + w_ls * scale * hg
-        e_ls = w_ls * 0.5 * isum(e_terms)
-
-    e_data = w_data * 0.5 * isum(diff * diff)
-
-    # --- Sobolev filter (separable, zero padding at global edges) ------------
+    # --- Sobolev filter (separable, zero padding at global/block edges) ----
     if taps:
-        k = len(taps)
-        r = k // 2
-
-        def conv_x(a):
-            # Physical zero borders in a VMEM scratch + static leading-dim
-            # slices: no selects (a broadcast select with an (xw,1,1)
-            # predicate costs ~14 µs — measured — and leading-dim slices of
-            # refs are vreg-speed). The clamped window makes window edge ==
-            # global domain edge exactly when the zero padding must be
-            # visible (first/last block), so the border is exact there and
-            # unread everywhere else (conv reads stay in the validity slack).
-            conv_ref[:r] = jnp.zeros((r,) + a.shape[1:], a.dtype)
-            conv_ref[r : r + xw] = a
-            conv_ref[r + xw :] = jnp.zeros((r,) + a.shape[1:], a.dtype)
-            out = None
-            for t in range(k):
-                term = taps[k - 1 - t] * conv_ref[t : t + xw]
-                out = term if out is None else out + term
-            return out
-
-        def conv_yz(a, axis, vec, size):
-            # Masked sublane/lane rolls: (1,Y,1)/(1,1,Z) predicates
-            # vectorize cheaply (unlike leading-dim ones).
-            out = taps[r] * a
-            for s in range(1, r + 1):
-                ok_p = vec + s <= size - 1
-                ok_m = vec - s >= 0
-                out = out + taps[r - s] * jnp.where(ok_p, _roll(a, s, axis), 0.0)
-                out = out + taps[r + s] * jnp.where(ok_m, _roll(a, -s, axis), 0.0)
-            return out
-
+        if conv_local_x:
+            # Block-local zero boundary (Schur): rows outside the block
+            # interior are zeroed before the x-conv.
+            row_valid = (brow >= x_lo) & (brow < x_lo + x_len)
+            need_mask = (off < x_lo) | (off + xw > x_lo + x_len)
+        else:
+            # Global zero boundary: only fires when the window contains
+            # out-of-domain halo rows (global-edge shards).
+            row_valid = (grow >= 0) & (gend <= 0)
+            need_mask = (off + meta_ref[0] < 0) | (
+                off + meta_ref[0] + xw - 1 > meta_ref[1]
+            )
+        yve = yv - (ysz - 1)
+        zve = zv - (zsz - 1)
         for kk in range(3):
-            a = conv_x(total[kk])
-            a = conv_yz(a, 1, yv, ysz)
-            total[kk] = conv_yz(a, 2, zv, zsz)
+            a = _conv_x_staged(
+                total[kk], conv_ref, xw, taps, row_valid, need_mask
+            )
+            a = _conv_lane(a, 1, yv, yve, taps)
+            total[kk] = _conv_lane(a, 2, zv, zve, taps)
 
-    # --- update + stats -------------------------------------------------------
+    # --- update + stats -----------------------------------------------------
     # The interior output slice goes value → scratch ref → dynamic ref slice
     # (Mosaic lowers pl.ds on refs but not dynamic_slice on values).
     neg_rate = -rate_ref[0]
@@ -427,6 +377,164 @@ def _fused_kernel(
     stats_ref[4] = jnp.where(first, max_ul, jnp.maximum(stats_ref[4], max_ul))
 
 
+def _fused_kernel_tiled(
+    meta_ref,  # scalar-prefetch int32 (4,): [x_offset, xg-1, y_offset, yg-1]
+    rate_ref,  # scalar-prefetch f32  (1,)
+    warped_hbm,  # (XL, YL, Z) in HBM/ANY
+    canon_hbm,  # (XL, YL, Z) in HBM/ANY
+    warp_hbm,  # (3, XL, YL, Z) in HBM/ANY
+    out_ref,  # (3, xb, yb, Z) updated-warp block
+    stats_ref,  # SMEM (8,)
+    wbuf,  # VMEM (2, xw, yw, Z) double-buffered warped window
+    cbuf,  # VMEM (2, xw, yw, Z) canonical window
+    ubuf,  # VMEM (2, 3, xw, yw, Z) warp window
+    stage_ref,  # VMEM (xw, yw, Z) output staging
+    sems,  # DMA semaphores (2, 5)
+    conv_ref=None,  # VMEM (xw+2r, yw, Z), present iff taps
+    *,
+    xb: int,
+    yb: int,
+    h: int,
+    x_lo: int,
+    x_len: int,
+    y_lo: int,
+    w_data: float,
+    w_smooth: float,
+    w_ls: float,
+    killing: bool,
+    gamma: float,
+    band_union: bool,
+    taps: tuple,
+    conv_local_x: bool = False,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ny = pl.num_programs(1)
+    nsteps = pl.num_programs(0) * ny
+    k_lin = i * ny + j
+
+    xl, yl, zsz = warped_hbm.shape
+    xw = min(xb + 2 * h, xl)
+    yw = min(yb + 2 * _YH, yl)
+
+    def offs(lin):
+        ii = lin // ny
+        jj = lin - ii * ny
+        ox = jnp.clip(x_lo + ii * xb - h, 0, xl - xw)
+        oy = jnp.clip(y_lo + jj * yb - _YH, 0, yl - yw)
+        return ox, oy
+
+    def dmas(lin, slot):
+        ox, oy = offs(lin)
+        ds = [
+            pltpu.make_async_copy(
+                warped_hbm.at[pl.ds(ox, xw), pl.ds(oy, yw), :],
+                wbuf.at[slot], sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                canon_hbm.at[pl.ds(ox, xw), pl.ds(oy, yw), :],
+                cbuf.at[slot], sems.at[slot, 1],
+            ),
+        ]
+        for c in range(3):
+            ds.append(
+                pltpu.make_async_copy(
+                    warp_hbm.at[c, pl.ds(ox, xw), pl.ds(oy, yw), :],
+                    ubuf.at[slot, c], sems.at[slot, 2 + c],
+                )
+            )
+        return ds
+
+    slot = jax.lax.rem(k_lin, 2)
+
+    @pl.when(k_lin == 0)
+    def _():
+        for dma in dmas(k_lin, slot):
+            dma.start()
+
+    # Issue the next window's copies before this step's compute (the DMA for
+    # step k was issued at step k-1): the copy rides under the math.
+    @pl.when(k_lin + 1 < nsteps)
+    def _():
+        for dma in dmas(k_lin + 1, jax.lax.rem(k_lin + 1, 2)):
+            dma.start()
+
+    for dma in dmas(k_lin, slot):
+        dma.wait()
+
+    ox, oy = offs(k_lin)
+    slx = x_lo + i * xb - ox
+    sly = y_lo + j * yb - oy
+
+    # --- coordinate vectors (few scalar→vector mixes, see module doc) ------
+    rows = jax.lax.broadcasted_iota(jnp.int32, (xw, 1, 1), 0)
+    brow = rows + ox
+    grow = brow + meta_ref[0]
+    gend = grow - meta_ref[1]
+    is0 = grow == 0
+    isn = gend == 0
+    yrows = jax.lax.broadcasted_iota(jnp.int32, (1, yw, 1), 1)
+    gy = yrows + (oy + meta_ref[2])
+    gy_end = gy - meta_ref[3]
+    y_first = gy == 0
+    y_last = gy_end == 0
+    zv = jax.lax.broadcasted_iota(jnp.int32, (1, 1, zsz), 2)
+    z_first, z_last = zv == 0, zv == zsz - 1
+    zve = zv - (zsz - 1)
+
+    msk = (
+        (rows >= slx) & (rows < slx + xb) & (yrows >= sly) & (yrows < sly + yb)
+    )
+
+    def isum(a):
+        return jnp.sum(jnp.where(msk, a, 0.0))
+
+    dd, lap3 = _make_derivs(is0, isn, y_first, y_last, z_first, z_last)
+
+    w = wbuf[slot]
+    c = cbuf[slot]
+    u = [ubuf[slot, cc] for cc in range(3)]
+
+    total, e_data, e_smooth, e_ls = _assemble_terms(
+        w, c, u, dd, lap3, isum,
+        w_data=w_data, w_smooth=w_smooth, w_ls=w_ls,
+        killing=killing, gamma=gamma, band_union=band_union,
+    )
+
+    if taps:
+        if conv_local_x:
+            row_valid = (brow >= x_lo) & (brow < x_lo + x_len)
+            need_mask = (ox < x_lo) | (ox + xw > x_lo + x_len)
+        else:
+            row_valid = (grow >= 0) & (gend <= 0)
+            need_mask = (ox + meta_ref[0] < 0) | (
+                ox + meta_ref[0] + xw - 1 > meta_ref[1]
+            )
+        for kk in range(3):
+            a = _conv_x_staged(
+                total[kk], conv_ref, xw, taps, row_valid, need_mask
+            )
+            a = _conv_lane(a, 1, gy, gy_end, taps)
+            total[kk] = _conv_lane(a, 2, zv, zve, taps)
+
+    neg_rate = -rate_ref[0]
+    upd = [neg_rate * total[k] for k in range(3)]
+    for k in range(3):
+        stage_ref[:] = u[k] + upd[k]
+        out_ref[k] = stage_ref[pl.ds(slx, xb), pl.ds(sly, yb), :]
+    ul = jnp.sqrt(upd[0] * upd[0] + upd[1] * upd[1] + upd[2] * upd[2])
+    ul = jnp.where(msk, ul, 0.0)
+    sum_ul = jnp.sum(ul)
+    max_ul = jnp.max(ul)
+
+    first = k_lin == 0
+    stats_ref[0] = jnp.where(first, e_data, stats_ref[0] + e_data)
+    stats_ref[1] = jnp.where(first, e_smooth, stats_ref[1] + e_smooth)
+    stats_ref[2] = jnp.where(first, e_ls, stats_ref[2] + e_ls)
+    stats_ref[3] = jnp.where(first, sum_ul, stats_ref[3] + sum_ul)
+    stats_ref[4] = jnp.where(first, max_ul, jnp.maximum(stats_ref[4], max_ul))
+
+
 _VMEM_BUDGET = 100 * 1024 * 1024
 # Mosaic scoped-VMEM stack per window row of straight-line temporaries,
 # measured: a 74-row full-energy window needed ~118 MB → ~25 row-sets.
@@ -439,7 +547,8 @@ def _input_bytes(x: int, y: int, z: int) -> int:
 
 
 def _pick_xb(x_len: int, x_total: int, y: int, z: int, h: int) -> int:
-    """Largest x compute chunk whose temporaries fit beside the inputs."""
+    """Largest x compute chunk whose temporaries fit beside the inputs
+    (whole-volume kernel)."""
     row = y * z * 4
     budget = _VMEM_BUDGET - _input_bytes(x_total, y, z)
     for cand in (64, 32, 16, 8, 4, 2, 1):
@@ -452,28 +561,96 @@ def _pick_xb(x_len: int, x_total: int, y: int, z: int, h: int) -> int:
     )
 
 
-def fused_supported(shape, interpret: bool = False, sobolev: bool = True) -> bool:
-    """Shape gate: 3D, lane-width z, sublane-tiled y, VMEM-resident inputs."""
-    if not (interpret or jax.devices()[0].platform == "tpu"):
-        return False
+def _pick_tiles(
+    x_len: int, xl: int, y_len: int, yl: int, z: int, h: int, r: int
+):
+    """(xb, yb) for the y-tiled kernel: the fewest grid steps whose windows,
+    double buffers, and straight-line temporaries fit the VMEM budget."""
+    best = None
+    for yb in (256, 128, 64, 32, 16, 8):
+        if y_len % yb:
+            continue
+        yw = min(yb + 2 * _YH, yl)
+        for xb in (16, 8, 4, 2, 1):
+            if x_len % xb:
+                continue
+            xw = min(xb + 2 * h, xl)
+            plane = yw * z * 4
+            vmem = (
+                _TEMP_ROWSETS * xw * plane  # straight-line temporaries
+                + 2 * 5 * xw * plane  # double-buffered input windows
+                + 2 * 3 * xb * yb * z * 4  # pipelined output block
+                + xw * plane  # output staging
+                + (xw + 2 * r) * plane * (1 if r else 0)  # conv staging
+            )
+            if vmem > _VMEM_BUDGET:
+                continue
+            steps = (x_len // xb) * (y_len // yb)
+            key = (steps, -xb * yb)
+            if best is None or key < best[0]:
+                best = (key, xb, yb)
+    if best is None:
+        raise ValueError(
+            f"block ({x_len}/{xl}, {y_len}/{yl}, {z}) does not fit the "
+            "y-tiled fused kernel's VMEM plan"
+        )
+    return best[1], best[2]
+
+
+def _shape_ok(shape) -> bool:
     if len(shape) != 3:
         return False
     x, y, z = shape
-    if z % _LANE or y % 8 or x < 1:
+    return not (z % _LANE or y % 8 or x < 1)
+
+
+def fused_supported(
+    shape,
+    interpret: bool = False,
+    sobolev: bool = True,
+    x_lo: int = 0,
+    x_len: int | None = None,
+    y_lo: int = 0,
+    y_len: int | None = None,
+    conv_local: bool = False,
+) -> bool:
+    """Shape gate for ``fused_gradient_update``: 3D, lane-width z,
+    sublane-tiled y, and a feasible VMEM plan (whole-volume or y-tiled)."""
+    if not (interpret or jax.devices()[0].platform == "tpu"):
         return False
-    h = 5 if sobolev else 2
+    if not _shape_ok(shape):
+        return False
+    x, y, z = shape
+    if x_len is None:
+        x_len = x - x_lo
+    if y_len is None:
+        y_len = y - y_lo
+    h = 2 if (not sobolev or conv_local) else 5
+    if x_lo and (x_lo < h or x < x_lo + x_len):
+        return False
+    if y_lo and (y_lo < _YH or y_lo % 8 or y < y_lo + y_len):
+        return False
+    r = 3 if sobolev else 0
+    if y_lo == 0 and y_len == y:
+        try:
+            _pick_xb(x_len, x, y, z, h)
+            return True
+        except ValueError:
+            pass
     try:
-        _pick_xb(x, x, y, z, h)
+        _pick_tiles(x_len, x, y_len, y, z, h, r)
+        return True
     except ValueError:
         return False
-    return True
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "w_data", "w_smooth", "w_ls", "killing", "gamma", "band_union",
-        "taps", "interpret", "x_offset_static", "x_global", "x_lo", "x_len",
+        "taps", "interpret", "x_global", "x_lo", "x_len",
+        "y_global", "y_lo", "y_len", "conv_local_x", "force_tiled",
+        "tile_override",
     ),
 )
 def fused_gradient_update(
@@ -490,64 +667,138 @@ def fused_gradient_update(
     band_union: bool = True,
     taps: tuple = (),
     interpret: bool = False,
-    x_offset_static: int = 0,
+    x_offset=0,
     x_global: int | None = None,
     x_lo: int = 0,
     x_len: int | None = None,
+    y_offset=0,
+    y_global: int | None = None,
+    y_lo: int = 0,
+    y_len: int | None = None,
+    conv_local_x: bool = False,
+    force_tiled: bool = False,
+    tile_override: tuple | None = None,
 ):
     """One fused solver step after the resample: returns ``(new_warp_cm,
     FusedStats)``.
 
     Args:
-      warped: warped-live field ``(XL, Y, Z)`` (may include halo rows).
+      warped: warped-live field ``(XL, YL, Z)`` (may include halo rows).
       canonical: canonical field, same shape.
-      warp_cm: component-major warp ``(3, XL, Y, Z)``.
+      warp_cm: component-major warp ``(3, XL, YL, Z)``.
       rate: traced scalar learning rate.
       taps: Sobolev kernel taps as a static tuple of floats; empty = no filter.
-      x_offset_static: global row index of input row 0 (sharded blocks).
-      x_global: global x extent (defaults to XL).
-      x_lo / x_len: the output window within the input rows — the update is
-        computed for input rows [x_lo, x_lo + x_len) (a shard's interior).
+      x_offset / y_offset: global coordinate of input row/col 0 (traced —
+        per-shard values under shard_map; negative for leading halo rows).
+      x_global / y_global: global extents (default: the input extents).
+      x_lo / x_len, y_lo / y_len: the output window within the input rows —
+        the update is computed for input rows [x_lo, x_lo + x_len) ×
+        [y_lo, y_lo + y_len) (a shard's interior). ``x_lo`` must be 0 or
+        >= the stencil+filter halo (5 with Sobolev, else 2); ``y_lo`` must
+        be 0 or a multiple of 8 that is >= 8.
+      conv_local_x: zero the Sobolev x-conv at the block-interior boundary
+        instead of the global domain edge (Schur block-local filtering).
 
     Energies are weighted (matching ops/gradient.py's telemetry convention)
     and reduced over the output window only.
     """
-    xt, y, z = warped.shape
-    assert warp_cm.shape == (3, xt, y, z), warp_cm.shape
+    xt, yt, z = warped.shape
+    assert warp_cm.shape == (3, xt, yt, z), warp_cm.shape
     if x_len is None:
         x_len = xt - x_lo
+    if y_len is None:
+        y_len = yt - y_lo
     xg = xt if x_global is None else x_global
-    h = 5 if taps else 2
-    xb = _pick_xb(x_len, xt, y, z, h)
+    yg = yt if y_global is None else y_global
+    # Under conv_local_x the Sobolev x-conv reads only block-interior rows
+    # (everything beyond is zeroed), so the x halo need drops back to the
+    # stencil radius 2 — the Schur solver's 2-ghost-row contract.
+    h = 2 if (not taps or conv_local_x) else 5
+    r = len(taps) // 2 if taps else 0
 
-    meta = jnp.array([x_offset_static, xg - 1], jnp.int32)
+    meta = jnp.stack([
+        jnp.asarray(x_offset, jnp.int32),
+        jnp.asarray(xg - 1, jnp.int32),
+        jnp.asarray(y_offset, jnp.int32),
+        jnp.asarray(yg - 1, jnp.int32),
+    ])
     rate_arr = jnp.asarray(rate, jnp.float32).reshape((1,))
 
-    kern = functools.partial(
-        _fused_kernel,
-        xb=xb, h=h, x_lo=x_lo, w_data=w_data, w_smooth=w_smooth, w_ls=w_ls,
-        killing=killing, gamma=gamma, band_union=band_union, taps=taps,
-    )
-    grid = (x_len // xb,)
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-    ]
-    out_specs = (
-        pl.BlockSpec((3, xb, y, z), lambda i, *_: (0, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-    )
-    out_shape = (
-        jax.ShapeDtypeStruct((3, x_len, y, z), warped.dtype),
-        jax.ShapeDtypeStruct((8,), jnp.float32),
-    )
-    xw = min(xb + 2 * h, xt)
-    scratch_shapes = [pltpu.VMEM((xw, y, z), jnp.float32)]
-    if taps:
-        r = len(taps) // 2
-        scratch_shapes.append(pltpu.VMEM((xw + 2 * r, y, z), jnp.float32))
+    whole = False
+    if not force_tiled and y_lo == 0 and y_len == yt:
+        try:
+            xb = _pick_xb(x_len, xt, yt, z, h)
+            whole = True
+        except ValueError:
+            pass
+
+    if whole:
+        kern = functools.partial(
+            _fused_kernel,
+            xb=xb, h=h, x_lo=x_lo, x_len=x_len,
+            w_data=w_data, w_smooth=w_smooth, w_ls=w_ls,
+            killing=killing, gamma=gamma, band_union=band_union, taps=taps,
+            conv_local_x=conv_local_x,
+        )
+        grid = (x_len // xb,)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        out_specs = (
+            pl.BlockSpec((3, xb, yt, z), lambda i, *_: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((3, x_len, yt, z), warped.dtype),
+            jax.ShapeDtypeStruct((8,), jnp.float32),
+        )
+        xw = min(xb + 2 * h, xt)
+        scratch_shapes = [pltpu.VMEM((xw, yt, z), jnp.float32)]
+        if taps:
+            scratch_shapes.append(
+                pltpu.VMEM((xw + 2 * r, yt, z), jnp.float32)
+            )
+    else:
+        xb, yb = tile_override or _pick_tiles(x_len, xt, y_len, yt, z, h, r)
+        xw = min(xb + 2 * h, xt)
+        yw = min(yb + 2 * _YH, yt)
+        kern = functools.partial(
+            _fused_kernel_tiled,
+            xb=xb, yb=yb, h=h, x_lo=x_lo, x_len=x_len, y_lo=y_lo,
+            w_data=w_data, w_smooth=w_smooth, w_ls=w_ls,
+            killing=killing, gamma=gamma, band_union=band_union, taps=taps,
+            conv_local_x=conv_local_x,
+        )
+        grid = (x_len // xb, y_len // yb)
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        out_specs = (
+            pl.BlockSpec((3, xb, yb, z), lambda i, j, *_: (0, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((3, x_len, y_len, z), warped.dtype),
+            jax.ShapeDtypeStruct((8,), jnp.float32),
+        )
+        scratch_shapes = [
+            pltpu.VMEM((2, xw, yw, z), jnp.float32),
+            pltpu.VMEM((2, xw, yw, z), jnp.float32),
+            pltpu.VMEM((2, 3, xw, yw, z), jnp.float32),
+            pltpu.VMEM((xw, yw, z), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 5)),
+        ]
+        if taps:
+            scratch_shapes.append(
+                pltpu.VMEM((xw + 2 * r, yw, z), jnp.float32)
+            )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,

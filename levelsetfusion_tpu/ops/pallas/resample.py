@@ -276,9 +276,24 @@ def _pick_block(size: int, candidates) -> int:
     return 0
 
 
-def _chunking(x_size: int, m: int = 1) -> int:
+# Double-buffered Element-window budget for the stacked input: leaves room
+# for the other pipelined blocks + scratch inside the 128 MB v5e VMEM (the
+# kernel runs with vmem_limit_bytes=110 MB; large K values — the stacked
+# array has 2K+2 copies — must shrink the x chunk to fit).
+_WINDOW_BUDGET = 55 * 1024 * 1024
+
+
+def _chunking(x_size: int, m: int = 1, n: int | None = None,
+              yb: int | None = None) -> int:
     # Multi-slab windows are ws=3 lanes wide — halve the x chunk to fit VMEM.
     cands = (128, 64, 32, 16, 8, 4, 2, 1) if m == 1 else (64, 32, 16, 8, 4, 2, 1)
+    if n is not None and yb is not None:
+        ws = 1 if m == 1 else min(m, 3)
+        fitting = tuple(
+            c for c in cands
+            if 2 * n * (c + n - 1) * yb * ws * _LANE * 4 <= _WINDOW_BUDGET
+        ) or cands[-1:]
+        cands = fitting
     xb = _pick_block(x_size, cands)
     if not xb:
         raise ValueError(f"x extent {x_size} has no supported chunking")
@@ -410,7 +425,7 @@ def warp_field_pallas_prepared(
         yb = pick_y_block((x_size, y_size, z_size))  # auto: largest that divides
     if y_size % yb:
         raise ValueError(f"y extent {y_size} not divisible by y_block {yb}")
-    xb = _chunking(x_size, m)
+    xb = _chunking(x_size, m, n, yb)
     win = xb + n - 1
     ws = min(m, 3)
     field_ext = stacked.shape[1] - (n - 1)

@@ -90,7 +90,26 @@ from levelsetfusion_tpu.parallel.sharded import (
     _block_gradient,
     pallas_block_supported,
     prepare_block_resample,
+    resample_block_ext_cm,
 )
+
+
+def fused_schur_supported(params: SolverParams, canonical, n_local: int) -> bool:
+    """Static gate for the fused gradient+update kernel in the Schur inner
+    loop: the block-local Sobolev (``conv_local_x``) drops the x-halo need
+    to the 2-ghost-row contract the interface reduction is built on."""
+    if not (params.use_pallas_gradient and canonical.ndim == 3):
+        return False
+    from levelsetfusion_tpu.ops.pallas.fused_gradient import fused_supported
+
+    return fused_supported(
+        (n_local + 4, canonical.shape[1], canonical.shape[2]),
+        interpret=params.pallas_interpret,
+        sobolev=params.sobolev_smoothing,
+        x_lo=2,
+        x_len=n_local,
+        conv_local=True,
+    )
 
 # Neighbor-exchange (ppermute) rounds issued per outer step, by construction.
 PPERMUTE_ROUNDS_PER_OUTER = 2  # warp halo + interface directions
@@ -172,6 +191,15 @@ def solve_single_level_schur(
     n_outer = -(-params.max_iterations // t_inner)
     num_voxels = float(canonical.size)
     use_pallas = pallas_block_supported(params, canonical, live_halo)
+    use_fused = fused_schur_supported(params, canonical, n_local)
+    taps = ()
+    if use_fused and params.sobolev_smoothing:
+        from levelsetfusion_tpu.ops.pallas.fused_gradient import sobolev_taps
+
+        taps = sobolev_taps(
+            params.sobolev_kernel_size, params.sobolev_strength
+        )
+    x_global = canonical.shape[0]
 
     # Interface coupling strength per warp component (see module docstring).
     gamma = params.rigidity_enforcement_factor
@@ -194,10 +222,25 @@ def solve_single_level_schur(
                 live_ext, params, live_halo, n_local
             )
         idx = lax.axis_index(axis_name)
+        canon_ext2 = None
+        x_off = None
+        if use_fused:
+            # The fused kernel wants canonical on block + 2 ghost rows for
+            # shape agreement only: ghost-row canonical values never reach an
+            # interior output (conv_local_x zeroes beyond the interior and
+            # the stats mask excludes ghosts), so an edge pad suffices — no
+            # collective.
+            canon_ext2 = jnp.concatenate(
+                [canon_blk[:1], canon_blk, canon_blk[-1:]], axis=0
+            )
+            canon_ext2 = jnp.concatenate(
+                [canon_ext2[:1], canon_ext2, canon_ext2[-1:]], axis=0
+            )
+            x_off = idx * n_local - 2
 
         zeros = jnp.zeros((n_outer,), canon_blk.dtype)
         init = (
-            warp0_blk,
+            jnp.moveaxis(warp0_blk, -1, 0) if use_fused else warp0_blk,
             jnp.zeros((), jnp.int32),  # outer step
             jnp.full((), jnp.inf, canon_blk.dtype),  # last global max update
             jnp.asarray(params.learning_rate, canon_blk.dtype),
@@ -209,23 +252,92 @@ def solve_single_level_schur(
             _, s, max_up, _, _, _ = state
             return (s < n_outer) & (max_up >= params.convergence_threshold)
 
+        # Component axis position: the fused path carries the warp
+        # component-major (3, x, y, z) — the layout both Pallas kernels want.
+        x_ax = 1 if use_fused else 0
+
+        def _row(a, sl):
+            return a[:, sl] if use_fused else a[sl]
+
         def outer_body(state):
             warp, s, _, rate, prev_e, tel = state
 
             # (1) one warp halo exchange; ghosts stay frozen through the
             # inner sweep.
-            warp_ext = halo_exchange(warp, 2, axis_name, nd, fill="replicate")
-            ghosts = (warp_ext[:2], warp_ext[-2:])
+            warp_ext = halo_exchange(
+                warp, 2, axis_name, nd, fill="replicate", axis=x_ax
+            )
+            ghosts = (_row(warp_ext, slice(None, 2)),
+                      _row(warp_ext, slice(-2, None)))
 
             # (2) block-local inner iterations — no collectives.
-            def inner(_, carry):
-                w, _, _ = carry
-                grad, energies = _block_gradient(
-                    canon_blk, live_ext, w, params, kernel, axis_name, nd,
-                    live_halo, prepared, warp_ghosts=ghosts, local_only=True,
+            if use_fused:
+                from levelsetfusion_tpu.ops.pallas.fused_gradient import (
+                    fused_gradient_update,
                 )
-                direction = -rate * grad
-                return (w + direction, direction, energies)
+
+                def inner(_, carry):
+                    w, _, _ = carry
+                    w_ext_cm = jnp.concatenate(
+                        [ghosts[0], w, ghosts[1]], axis=1
+                    )
+                    warped_ext = resample_block_ext_cm(
+                        w_ext_cm, live_ext, prepared, params, 2, n_local,
+                        live_halo, axis_name,
+                    )
+                    new_w, stats = fused_gradient_update(
+                        warped_ext,
+                        canon_ext2,
+                        w_ext_cm,
+                        rate,
+                        w_data=params.data_term_weight,
+                        w_smooth=params.smoothing_term_weight,
+                        w_ls=params.level_set_term_weight,
+                        killing=(
+                            params.smoothing_mode is SmoothingMode.KILLING
+                        ),
+                        gamma=params.rigidity_enforcement_factor,
+                        band_union=params.band_union_only,
+                        taps=taps,
+                        interpret=params.pallas_interpret,
+                        x_offset=x_off,
+                        x_global=x_global,
+                        x_lo=2,
+                        x_len=n_local,
+                        conv_local_x=True,
+                    )
+                    energies = (
+                        stats.data_energy,
+                        stats.smoothing_energy,
+                        stats.level_set_energy,
+                    )
+                    return (new_w, new_w - w, energies)
+            else:
+
+                def inner(_, carry):
+                    w, _, _ = carry
+                    # Neighbor ghosts stay frozen (that is the scheme), but
+                    # GLOBAL-boundary ghosts are locally computable: refresh
+                    # the replicate fill from the current edge row so the
+                    # one-sided global-edge forms track the iterate (and
+                    # match the fused kernel's masked edge forms exactly).
+                    lo = jnp.where(
+                        idx == 0,
+                        jnp.broadcast_to(w[:1], ghosts[0].shape),
+                        ghosts[0],
+                    )
+                    hi = jnp.where(
+                        idx == nd - 1,
+                        jnp.broadcast_to(w[-1:], ghosts[1].shape),
+                        ghosts[1],
+                    )
+                    grad, energies = _block_gradient(
+                        canon_blk, live_ext, w, params, kernel, axis_name,
+                        nd, live_halo, prepared, warp_ghosts=(lo, hi),
+                        local_only=True,
+                    )
+                    direction = -rate * grad
+                    return (w + direction, direction, energies)
 
             dir0 = jnp.zeros_like(warp)
             e0 = (jnp.zeros((), canon_blk.dtype),) * 3
@@ -236,8 +348,8 @@ def solve_single_level_schur(
             # (3) interface reduction: exchange edge directions (one
             # ppermute round), solve the per-cut implicit 2×2 system, and
             # replace the edge rows' last explicit update with δ.
-            d_first = direction[:1]
-            d_last = direction[-1:]
+            d_first = _row(direction, slice(None, 1))
+            d_last = _row(direction, slice(-1, None))
             nbr_last = lax.ppermute(d_last, axis_name, fwd)  # left nbr's
             nbr_first = lax.ppermute(d_first, axis_name, bwd)  # right nbr's
 
@@ -248,24 +360,31 @@ def solve_single_level_schur(
                 for c in range(d):
                     a = rate * w_s * kappa[c]
                     det = (1.0 + 2.0 * a) ** 2 - a * a
-                    parts.append(
-                        ((1.0 + 2.0 * a) * d_own[..., c] + a * d_nbr[..., c])
-                        / det
-                    )
-                return jnp.stack(parts, axis=-1)
+                    own = d_own[c] if use_fused else d_own[..., c]
+                    nbr = d_nbr[c] if use_fused else d_nbr[..., c]
+                    parts.append(((1.0 + 2.0 * a) * own + a * nbr) / det)
+                return jnp.stack(parts, axis=0 if use_fused else -1)
 
             delta_first = solve2(d_first, nbr_last)
             delta_last = solve2(d_last, nbr_first)
             # Global edges have no cut: keep the explicit update there.
             delta_first = jnp.where(idx == 0, d_first, delta_first)
             delta_last = jnp.where(idx == nd - 1, d_last, delta_last)
-            warp = warp.at[:1].add(delta_first - d_first)
-            warp = warp.at[-1:].add(delta_last - d_last)
-            direction = direction.at[:1].set(delta_first)
-            direction = direction.at[-1:].set(delta_last)
+            if use_fused:
+                warp = warp.at[:, :1].add(delta_first - d_first)
+                warp = warp.at[:, -1:].add(delta_last - d_last)
+                direction = direction.at[:, :1].set(delta_first)
+                direction = direction.at[:, -1:].set(delta_last)
+            else:
+                warp = warp.at[:1].add(delta_first - d_first)
+                warp = warp.at[-1:].add(delta_last - d_last)
+                direction = direction.at[:1].set(delta_first)
+                direction = direction.at[-1:].set(delta_last)
 
             # (4) one fused global reduction: energies + update stats.
-            ulen = jnp.sqrt(jnp.sum(direction * direction, axis=-1))
+            ulen = jnp.sqrt(
+                jnp.sum(direction * direction, axis=0 if use_fused else -1)
+            )
             max_up = lax.pmax(jnp.max(ulen), axis_name)
             mean_up = lax.psum(jnp.sum(ulen), axis_name) / num_voxels
             e_d = lax.psum(e_d, axis_name)
@@ -286,6 +405,8 @@ def solve_single_level_schur(
             return (warp, s + 1, max_up, rate, energy, tel)
 
         warp, s, max_up, _, _, tel = lax.while_loop(cond, outer_body, init)
+        if use_fused:
+            warp = jnp.moveaxis(warp, 0, -1)
         return warp, s, max_up < params.convergence_threshold, tel
 
     spec = P(axis_name)

@@ -305,36 +305,60 @@ def warp_field_sharded(
     return fn(live, warp)
 
 
-def pallas_block_supported(params: SolverParams, canonical, live_halo: int) -> bool:
-    """Static gate for the per-shard Pallas resample fast path."""
+def pallas_block_supported(params: SolverParams, canonical, live_halo: int,
+                           ghost: int = 2) -> bool:
+    """Static gate for the per-shard Pallas resample fast path.
+
+    ``ghost``: resampled ghost rows needed around the block (2 for the jnp
+    stencil path, the full stencil+filter halo for the fused-kernel path) —
+    the live halo must cover ghost + K + 1 rows.
+    """
     from levelsetfusion_tpu.ops.pallas.resample import pallas_resample_supported
 
     kk = params.pallas_max_displacement
     return (
         params.use_pallas_resample
         and canonical.ndim == 3
-        and live_halo >= kk + 3
+        and live_halo >= kk + ghost + 1
         and pallas_resample_supported(canonical, params.pallas_interpret)
     )
 
 
-def pallas_prep_extents(params: SolverParams, n_local: int):
+def fused_block_supported(params: SolverParams, canonical, n_local: int) -> bool:
+    """Static gate for the per-shard fused gradient+update kernel."""
+    if not (params.use_pallas_gradient and canonical.ndim == 3):
+        return False
+    from levelsetfusion_tpu.ops.pallas.fused_gradient import fused_supported
+
+    hx = 5 if params.sobolev_smoothing else 2
+    shape = (n_local + 2 * hx, canonical.shape[1], canonical.shape[2])
+    return fused_supported(
+        shape,
+        interpret=params.pallas_interpret,
+        sobolev=params.sobolev_smoothing,
+        x_lo=hx,
+        x_len=n_local,
+    )
+
+
+def pallas_prep_extents(params: SolverParams, n_local: int, ghost: int = 2):
     """(kk, xe_raw, pallas_xe, pallas_field_ext) for the per-shard kernel.
 
-    Kernel output extent: the m = n_local+4 kept rows rounded up to a
+    Kernel output extent: the m = n_local + 2·ghost kept rows rounded up to a
     chunkable multiple of 8 (output row j samples field row j + K + ux via
     x_start, so the field slice needs K rows before and K+1 after the
     output window).
     """
     kk = params.pallas_max_displacement
-    xe_raw = n_local + 4 + 2 * kk + 1
-    pallas_xe = ((n_local + 4 + 7) // 8) * 8
+    m = n_local + 2 * ghost
+    xe_raw = m + 2 * kk + 1
+    pallas_xe = ((m + 7) // 8) * 8
     pallas_field_ext = max(xe_raw, pallas_xe + kk)
     return kk, xe_raw, pallas_xe, pallas_field_ext
 
 
 def prepare_block_resample(live_ext, params: SolverParams, live_halo: int,
-                           n_local: int):
+                           n_local: int, ghost: int = 2):
     """Per-shard ``prepare_field`` + skip flags from the haloed live block
     (loop-invariant; called once per solve inside ``shard_map``)."""
     from levelsetfusion_tpu.ops.interpolation import TRUNCATION_FILL
@@ -345,10 +369,10 @@ def prepare_block_resample(live_ext, params: SolverParams, live_halo: int,
     )
 
     kk, xe_raw, pallas_xe, pallas_field_ext = pallas_prep_extents(
-        params, n_local
+        params, n_local, ghost
     )
     field_x = lax.dynamic_slice_in_dim(
-        live_ext, live_halo - 2 - kk, xe_raw, axis=0
+        live_ext, live_halo - ghost - kk, xe_raw, axis=0
     )
     field_x = jnp.pad(
         field_x,
@@ -360,6 +384,55 @@ def prepare_block_resample(live_ext, params: SolverParams, live_halo: int,
         stacked, pallas_xe, pick_y_block(field_x.shape), kk, x_start=kk
     )
     return (stacked, flags, pallas_xe)
+
+
+def resample_block_ext_cm(
+    warp_ext_cm, live_ext, prepared, params: SolverParams, ghost: int,
+    n_local: int, live_halo: int, axis_name: str,
+):
+    """Warp the haloed live block under a component-major ghost-extended
+    warp, returning the warped field on block + ``ghost`` rows per side.
+
+    Shared by the sharded and Schur solvers' fused fast paths: per-shard
+    Pallas resample when ``prepared`` (from ``prepare_block_resample`` with
+    the same ``ghost``) is given, golden jnp gather otherwise.
+    """
+    m = n_local + 2 * ghost
+    if prepared is not None:
+        from levelsetfusion_tpu.ops.pallas.resample import (
+            pick_y_block,
+            warp_field_pallas_prepared,
+        )
+
+        kk = params.pallas_max_displacement
+        stacked, flags, xe = prepared
+        warp_k = jnp.pad(
+            warp_ext_cm, ((0, 0), (0, xe - m), (0, 0), (0, 0))
+        )
+        return warp_field_pallas_prepared(
+            stacked,
+            warp_k,
+            kk,
+            y_block=pick_y_block(warp_k.shape[1:]),
+            interpret=params.pallas_interpret,
+            skip_flags=flags,
+            x_start=kk,
+            component_major=True,
+        )[:m]
+    warp_ext = jnp.moveaxis(warp_ext_cm, 0, -1)
+    d = warp_ext.shape[-1]
+    shape_ext = (m,) + warp_ext.shape[1:-1]
+    start = lax.axis_index(axis_name) * n_local
+    pos0 = (
+        start - ghost + lax.broadcasted_iota(jnp.int32, shape_ext, 0)
+    ).astype(warp_ext.dtype)
+    coords = [pos0 - (start - live_halo) + warp_ext[..., 0]]
+    for ax in range(1, d):
+        ident = lax.broadcasted_iota(jnp.int32, shape_ext, ax).astype(
+            warp_ext.dtype
+        )
+        coords.append(ident + warp_ext[..., ax])
+    return sample_at(live_ext, jnp.stack(coords, axis=-1))
 
 
 @partial(
@@ -407,9 +480,22 @@ def solve_single_level_sharded(
     n_iter = params.max_iterations
     num_voxels = float(canonical.size)
 
-    # Per-shard Pallas fast path (BASELINE config 5 on real chips): gate
+    # Per-shard Pallas fast paths (BASELINE config 5 on real chips): gate
     # statically on shape/halo support; interpret-mode enables CPU testing.
-    use_pallas = pallas_block_supported(params, canonical, live_halo)
+    # The fused gradient+update kernel needs the resample to produce the full
+    # stencil+filter halo (hx rows) around the block.
+    use_fused = fused_block_supported(params, canonical, n_local)
+    hx = 5 if params.sobolev_smoothing else 2
+    ghost = hx if use_fused else 2
+    use_pallas = pallas_block_supported(params, canonical, live_halo, ghost)
+    taps = ()
+    if use_fused and params.sobolev_smoothing:
+        from levelsetfusion_tpu.ops.pallas.fused_gradient import sobolev_taps
+
+        taps = sobolev_taps(
+            params.sobolev_kernel_size, params.sobolev_strength
+        )
+    x_global = canonical.shape[0]
 
     def run(canon_blk, live_blk, warp0_blk):
         live_ext = halo_exchange(
@@ -418,12 +504,21 @@ def solve_single_level_sharded(
         prepared = None
         if use_pallas:
             prepared = prepare_block_resample(
-                live_ext, params, live_halo, n_local
+                live_ext, params, live_halo, n_local, ghost
             )
+        canon_ext = None
+        x_off = None
+        if use_fused:
+            # Canonical enters the fused kernel's band mask / conv reads up
+            # to hx−2 rows beyond the block; constant per solve.
+            canon_ext = halo_exchange(
+                canon_blk, hx, axis_name, nd, fill="truncation"
+            )
+            x_off = lax.axis_index(axis_name) * n_local - hx
 
         zeros = jnp.zeros((n_iter,), canon_blk.dtype)
         init = (
-            warp0_blk,
+            jnp.moveaxis(warp0_blk, -1, 0) if use_fused else warp0_blk,
             jnp.zeros((), jnp.int32),
             jnp.full((), jnp.inf, canon_blk.dtype),
             jnp.asarray(params.learning_rate, canon_blk.dtype),
@@ -435,17 +530,61 @@ def solve_single_level_sharded(
             _, it, max_up, _, _, _ = state
             return (it < n_iter) & (max_up >= params.convergence_threshold)
 
+        def _fused_step(warp_cm, rate):
+            """Halo-exchange the warp (hx rows, ONE collective round), warp
+            the live block out to hx ghost rows, then one fused kernel call
+            produces the updated interior + per-shard stats."""
+            from levelsetfusion_tpu.ops.gradient import SmoothingMode as SM
+            from levelsetfusion_tpu.ops.pallas.fused_gradient import (
+                fused_gradient_update,
+            )
+
+            warp_ext_cm = halo_exchange(
+                warp_cm, hx, axis_name, nd, fill="replicate", axis=1
+            )
+            warped_ext = resample_block_ext_cm(
+                warp_ext_cm, live_ext, prepared, params, hx, n_local,
+                live_halo, axis_name,
+            )
+
+            return fused_gradient_update(
+                warped_ext,
+                canon_ext,
+                warp_ext_cm,
+                rate,
+                w_data=params.data_term_weight,
+                w_smooth=params.smoothing_term_weight,
+                w_ls=params.level_set_term_weight,
+                killing=params.smoothing_mode is SM.KILLING,
+                gamma=params.rigidity_enforcement_factor,
+                band_union=params.band_union_only,
+                taps=taps,
+                interpret=params.pallas_interpret,
+                x_offset=x_off,
+                x_global=x_global,
+                x_lo=hx,
+                x_len=n_local,
+            )
+
         def body(state):
             warp, it, _, rate, prev_e, tel = state
-            grad, (e_data, e_smooth, e_ls) = _block_gradient(
-                canon_blk, live_ext, warp, params, kernel, axis_name, nd,
-                live_halo, prepared,
-            )
-            update = -rate * grad
-            new_warp = warp + update
-            ulen = jnp.sqrt(jnp.sum(update * update, axis=-1))
-            max_up = lax.pmax(jnp.max(ulen), axis_name)
-            mean_up = lax.psum(jnp.sum(ulen), axis_name) / num_voxels
+            if use_fused:
+                new_warp, stats = _fused_step(warp, rate)
+                e_data = lax.psum(stats.data_energy, axis_name)
+                e_smooth = lax.psum(stats.smoothing_energy, axis_name)
+                e_ls = lax.psum(stats.level_set_energy, axis_name)
+                max_up = lax.pmax(stats.max_update, axis_name)
+                mean_up = lax.psum(stats.sum_update, axis_name) / num_voxels
+            else:
+                grad, (e_data, e_smooth, e_ls) = _block_gradient(
+                    canon_blk, live_ext, warp, params, kernel, axis_name, nd,
+                    live_halo, prepared,
+                )
+                update = -rate * grad
+                new_warp = warp + update
+                ulen = jnp.sqrt(jnp.sum(update * update, axis=-1))
+                max_up = lax.pmax(jnp.max(ulen), axis_name)
+                mean_up = lax.psum(jnp.sum(ulen), axis_name) / num_voxels
 
             energy = e_data + e_smooth + e_ls
             if params.adaptive_learning_rate:
@@ -461,6 +600,8 @@ def solve_single_level_sharded(
             return (new_warp, it + 1, max_up, rate, energy, tel)
 
         warp, it, max_up, _, _, tel = lax.while_loop(cond, body, init)
+        if use_fused:
+            warp = jnp.moveaxis(warp, 0, -1)
         return warp, it, max_up < params.convergence_threshold, tel
 
     spec = P(axis_name)

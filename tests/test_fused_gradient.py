@@ -142,6 +142,141 @@ def test_fused_multi_chunk_and_multislab(rng):
     )
 
 
+@pytest.mark.parametrize("w_smooth,w_ls,killing,sobolev,band_union", CASES)
+def test_tiled_matches_golden(rng, w_smooth, w_ls, killing, sobolev,
+                              band_union):
+    """The y-tiled manual-DMA kernel == golden, with a grid that actually
+    tiles both axes (tile_override forces multiple x and y blocks)."""
+    shape = (16, 32, 128)
+    canonical, warped, warp = _fields(shape, rng)
+    rate = jnp.float32(0.3)
+    kernel = (
+        jnp.asarray(sobolev_ops.generate_1d_sobolev_kernel(7, 0.1))
+        if sobolev
+        else None
+    )
+    taps = sobolev_taps(7, 0.1) if sobolev else ()
+
+    ref_warp, ref_stats = _golden(
+        warped, canonical, warp, rate,
+        w_data=1.0, w_smooth=w_smooth, w_ls=w_ls, killing=killing,
+        gamma=0.1, band_union=band_union, kernel=kernel,
+    )
+    got_warp, got_stats = fused_gradient_update(
+        warped, canonical, jnp.moveaxis(warp, -1, 0), rate,
+        w_data=1.0, w_smooth=w_smooth, w_ls=w_ls, killing=killing,
+        gamma=0.1, band_union=band_union, taps=taps, interpret=True,
+        force_tiled=True, tile_override=(4, 8),
+    )
+    got_warp = jnp.moveaxis(got_warp, 0, -1)
+    np.testing.assert_allclose(got_warp, ref_warp, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        got_stats.data_energy, ref_stats.data_energy, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        got_stats.smoothing_energy, ref_stats.smoothing_energy, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        got_stats.level_set_energy, ref_stats.level_set_energy, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        got_stats.max_update, ref_stats.max_update, rtol=1e-4, atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("kernel_kind", ["whole", "tiled"])
+@pytest.mark.parametrize("shard", [0, 1, 2])  # global-first, middle, last
+def test_sharded_block_windows_match_golden(rng, kernel_kind, shard):
+    """Per-shard invocation (halo rows + x_lo/x_len + traced x_offset) must
+    reproduce the corresponding window of the full-volume golden — with
+    GARBAGE in the out-of-domain halo rows, proving the global-edge masks
+    never read them."""
+    X, Y, Z = 24, 16, 128
+    h = 5  # Sobolev halo
+    nblk = X // 3  # 3 shards of 8 rows
+    canonical, warped, warp = _fields((X, Y, Z), rng)
+    rate = jnp.float32(0.25)
+    kernel = jnp.asarray(sobolev_ops.generate_1d_sobolev_kernel(7, 0.1))
+    taps = sobolev_taps(7, 0.1)
+    kw = dict(w_data=1.0, w_smooth=0.1, w_ls=0.1, killing=True, gamma=0.1,
+              band_union=True)
+
+    ref_warp, _ = _golden(warped, canonical, warp, rate, kernel=kernel, **kw)
+
+    lo = shard * nblk
+    hi = lo + nblk
+
+    def block_ext(a, fill):
+        """Rows [lo-h, hi+h) with out-of-domain rows = garbage fill."""
+        pad = np.full((h,) + a.shape[1:], fill, a.dtype)
+        ext = np.concatenate([pad, np.asarray(a), pad], axis=0)
+        return jnp.asarray(ext[lo : hi + 2 * h])  # ext index = global + h
+
+    w_ext = block_ext(warped, 7.7)
+    c_ext = block_ext(canonical, -3.3)
+    u_ext = block_ext(warp, 9.9)
+
+    got, _ = fused_gradient_update(
+        w_ext, c_ext, jnp.moveaxis(u_ext, -1, 0), rate,
+        taps=taps, interpret=True,
+        x_offset=lo - h, x_global=X, x_lo=h, x_len=nblk,
+        force_tiled=(kernel_kind == "tiled"),
+        tile_override=(4, 8) if kernel_kind == "tiled" else None,
+        **kw,
+    )
+    np.testing.assert_allclose(
+        jnp.moveaxis(got, 0, -1), ref_warp[lo:hi], rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("yshard", [0, 1])
+def test_2d_sharded_block_windows_match_golden(rng, yshard):
+    """Tiled kernel with BOTH x and y halo windows (the 2D-mesh voxel-block
+    case): per-block output == the golden's window, garbage halos masked."""
+    X, Y, Z = 16, 32, 128
+    hx, hy = 5, 8
+    canonical, warped, warp = _fields((X, Y, Z), rng)
+    rate = jnp.float32(0.25)
+    kernel = jnp.asarray(sobolev_ops.generate_1d_sobolev_kernel(7, 0.1))
+    taps = sobolev_taps(7, 0.1)
+    kw = dict(w_data=1.0, w_smooth=0.1, w_ls=0.1, killing=True, gamma=0.1,
+              band_union=True)
+    ref_warp, _ = _golden(warped, canonical, warp, rate, kernel=kernel, **kw)
+
+    xlo_g, xhi_g = 8, 16  # x block rows [8, 16)
+    ylo_g = yshard * 16
+    yhi_g = ylo_g + 16
+
+    def block_ext(a, fill):
+        pad_x = np.full((hx,) + a.shape[1:], fill, a.dtype)
+        ext = np.concatenate([pad_x, np.asarray(a), pad_x], axis=0)
+        pad_y = np.full(
+            (ext.shape[0], hy) + a.shape[2:], fill, a.dtype
+        )
+        ext = np.concatenate([pad_y, ext, pad_y], axis=1)
+        return jnp.asarray(
+            ext[xlo_g : xhi_g + 2 * hx, ylo_g : yhi_g + 2 * hy]
+        )
+
+    w_ext = block_ext(warped, 7.7)
+    c_ext = block_ext(canonical, -3.3)
+    u_ext = block_ext(warp, 9.9)
+
+    got, _ = fused_gradient_update(
+        w_ext, c_ext, jnp.moveaxis(u_ext, -1, 0), rate,
+        taps=taps, interpret=True,
+        x_offset=xlo_g - hx, x_global=X, x_lo=hx, x_len=xhi_g - xlo_g,
+        y_offset=ylo_g - hy, y_global=Y, y_lo=hy, y_len=yhi_g - ylo_g,
+        tile_override=(4, 8),
+        **kw,
+    )
+    np.testing.assert_allclose(
+        jnp.moveaxis(got, 0, -1),
+        ref_warp[xlo_g:xhi_g, ylo_g:yhi_g],
+        rtol=2e-5, atol=2e-5,
+    )
+
+
 def test_solver_with_fused_kernel_matches_golden(rng):
     """End-to-end: solve_single_level with use_pallas_gradient (interpret)
     equals the pure-jnp solver — warp, telemetry, iteration count."""

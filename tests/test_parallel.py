@@ -171,3 +171,68 @@ def test_sharded_pallas_parity_multislab_interpret():
         pallas_interpret=True,
     )
     _parity(params, num_devices=4, live_halo=8, fields=(canonical, live))
+
+
+def test_sharded_fused_gradient_parity_interpret():
+    """Sharded solver with BOTH per-shard Pallas paths — resample + fused
+    gradient/update kernel (interpret mode on the CPU mesh) — matches the
+    single-device fused solver: the VERDICT-r2 #1 wiring."""
+    rng = np.random.default_rng(5)
+    shape = (32, 8, 128)
+    base = rng.standard_normal(shape).astype(np.float32)
+    canonical = jnp.asarray(np.tanh(base * 0.3))
+    live = jnp.asarray(np.tanh(np.roll(base, 1, axis=0) * 0.3))
+    params = SolverParams(
+        max_iterations=5,
+        learning_rate=0.2,
+        smoothing_term_weight=0.1,
+        smoothing_mode=SmoothingMode.KILLING,
+        level_set_term_weight=0.1,
+        sobolev_smoothing=True,
+        convergence_threshold=0.0,
+        use_pallas_resample=True,
+        use_pallas_gradient=True,
+        pallas_interpret=True,
+    )
+    _parity(params, num_devices=4, live_halo=8, fields=(canonical, live))
+
+
+def test_sharded_fused_gradient_jnp_resample_parity_interpret():
+    """Fused gradient kernel with the jnp gather fallback (the path when the
+    resample gate fails but the fused-kernel gate holds)."""
+    rng = np.random.default_rng(6)
+    shape = (32, 16, 128)
+    base = rng.standard_normal(shape).astype(np.float32)
+    canonical = jnp.asarray(np.tanh(base * 0.3))
+    live = jnp.asarray(np.tanh(np.roll(base, 1, axis=0) * 0.3))
+    params = SolverParams(
+        max_iterations=4,
+        learning_rate=0.2,
+        smoothing_term_weight=0.1,
+        level_set_term_weight=0.1,
+        sobolev_smoothing=True,
+        convergence_threshold=0.0,
+        use_pallas_gradient=True,
+        pallas_interpret=True,
+    )
+    _parity(params, num_devices=4, live_halo=8, fields=(canonical, live))
+
+
+def test_sharded_fused_gradient_no_sobolev_parity_interpret():
+    """Fused sharded path without Sobolev (hx = 2 halo contract)."""
+    rng = np.random.default_rng(7)
+    shape = (32, 8, 128)
+    base = rng.standard_normal(shape).astype(np.float32)
+    canonical = jnp.asarray(np.tanh(base * 0.3))
+    live = jnp.asarray(np.tanh(np.roll(base, 1, axis=0) * 0.3))
+    params = SolverParams(
+        max_iterations=5,
+        learning_rate=0.2,
+        smoothing_term_weight=0.1,
+        smoothing_mode=SmoothingMode.KILLING,
+        convergence_threshold=0.0,
+        use_pallas_resample=True,
+        use_pallas_gradient=True,
+        pallas_interpret=True,
+    )
+    _parity(params, num_devices=4, live_halo=8, fields=(canonical, live))
