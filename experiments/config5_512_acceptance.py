@@ -102,6 +102,7 @@ def tpu_shard():
         smoothing_term_weight=0.1, smoothing_mode=SmoothingMode.KILLING,
         level_set_term_weight=0.1, sobolev_smoothing=True,
         convergence_threshold=0.0, use_pallas_resample=True,
+        use_pallas_gradient="--no-fused" not in sys.argv,
     )
 
     def sync(x):

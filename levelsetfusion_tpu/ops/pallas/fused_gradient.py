@@ -421,7 +421,12 @@ def _fused_kernel_tiled(
         ii = lin // ny
         jj = lin - ii * ny
         ox = jnp.clip(x_lo + ii * xb - h, 0, xl - xw)
-        oy = jnp.clip(y_lo + jj * yb - _YH, 0, yl - yw)
+        # y_lo, yb, _YH, yl, yw are all multiples of 8 (gated in
+        # fused_supported), so oy is too — but Mosaic cannot prove it
+        # through the clip; the hint keeps the sublane-dim slices legal.
+        oy = pl.multiple_of(
+            jnp.clip(y_lo + jj * yb - _YH, 0, yl - yw), 8
+        )
         return ox, oy
 
     def dmas(lin, slot):
@@ -464,7 +469,7 @@ def _fused_kernel_tiled(
 
     ox, oy = offs(k_lin)
     slx = x_lo + i * xb - ox
-    sly = y_lo + j * yb - oy
+    sly = pl.multiple_of(y_lo + j * yb - oy, 8)
 
     # --- coordinate vectors (few scalar→vector mixes, see module doc) ------
     rows = jax.lax.broadcasted_iota(jnp.int32, (xw, 1, 1), 0)
