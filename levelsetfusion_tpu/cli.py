@@ -101,6 +101,50 @@ def _pair_3d(cfg: ExperimentConfig, grid: GridSpec):
     return gen(canonical_depth), gen(live_depth)
 
 
+def _contract_summary(res, cfg, *, sharded: bool = False) -> dict:
+    """Displacement-contract guard entries for summary.json: the measured
+    per-axis max |u| plus any violations of the Pallas-clamp / sharded-halo
+    limits (logged as warnings by check_displacement_contract)."""
+    from levelsetfusion_tpu.utils.debug import check_displacement_contract
+
+    md = getattr(res, "max_abs_displacement", None)
+    if md is None:
+        return {}
+    violations = check_displacement_contract(
+        res,
+        pallas_max_displacement=(
+            cfg.solver.pallas_max_displacement
+            if cfg.solver.use_pallas_resample
+            else None
+        ),
+        live_halo=cfg.live_halo if sharded else None,
+        name=cfg.name,
+    )
+    return {
+        "max_abs_displacement": [float(v) for v in np.asarray(md)],
+        "contract_violations": violations,
+    }
+
+
+def _sequence_dataset(cfg: ExperimentConfig):
+    """Resolve cfg.dataset through the registry (SURVEY §2.2): returns a
+    SequenceDataset. "synthetic" keeps the historical inline generator with
+    its CLI defaults; any other name (e.g. "depth_directory" with
+    dataset_kwargs={"path": ...}) comes from io.datasets."""
+    from levelsetfusion_tpu.io import datasets
+
+    if cfg.dataset in ("synthetic", "synthetic_snoopy"):
+        seq_kwargs = dict(width=48, height=48, blob_radius_px=10.0,
+                          blob_height=0.05, drift_px_per_frame=(1.5, 0.0),
+                          pulse_amplitude=0.1)
+        seq_kwargs.update(cfg.dataset_kwargs)
+        seq = synthetic.snoopy_style_sequence_3d(cfg.num_frames, **seq_kwargs)
+        return datasets.SequenceDataset(
+            "synthetic_snoopy", seq.camera, list(seq.frames)
+        )
+    return datasets.get(cfg.dataset, **cfg.dataset_kwargs)
+
+
 def run_experiment(
     cfg: ExperimentConfig, out_dir: str, resume: bool = False, verbose: bool = False
 ) -> dict:
@@ -125,6 +169,7 @@ def run_experiment(
             converged=bool(res.converged),
             final_data_energy=rows[-1]["data_energy"] if rows else None,
             **_residual_metrics(canonical, live, warped),
+            **_contract_summary(res, cfg),
         )
 
     if cfg.mode == "hierarchical_2d":
@@ -142,14 +187,12 @@ def run_experiment(
             iterations_per_level=[int(r.iterations) for r in res.level_results],
             converged=bool(res.level_results[-1].converged),
             **_residual_metrics(canonical, live, warped),
+            **_contract_summary(res.level_results[-1], cfg),
         )
 
     if cfg.mode == "multi_frame_3d":
-        seq_kwargs = dict(width=48, height=48, blob_radius_px=10.0,
-                          blob_height=0.05, drift_px_per_frame=(1.5, 0.0),
-                          pulse_amplitude=0.1)
-        seq_kwargs.update(cfg.dataset_kwargs)
-        seq = synthetic.snoopy_style_sequence_3d(cfg.num_frames, **seq_kwargs)
+        ds = _sequence_dataset(cfg)
+        n_frames = len(ds)
         pipeline_cfg = FusionPipelineConfig(
             grid=grid,
             narrow_band_width_voxels=cfg.narrow_band_width_voxels,
@@ -164,7 +207,7 @@ def run_experiment(
         if resume:
             latest = ckpt.latest_frame(ckpt_root)
             if latest is not None:
-                if latest >= len(seq.frames) - 1:
+                if latest >= n_frames - 1:
                     # Nothing left to fuse — still (re)write the final
                     # artifacts from the checkpoint so an interrupted run
                     # can be completed.
@@ -195,21 +238,25 @@ def run_experiment(
 
         if start_frame > 0:
             state, warp, _ = ckpt.load(ckpt_root, start_frame)
-            frames = seq.frames[start_frame:]
-            # Continue fusion manually from the checkpointed state.
-            from levelsetfusion_tpu.models.fusion import fuse_sequence as _fs
-
-            # Re-run fuse over remaining frames with warm state: emulate by
-            # prepending a virtual frame that regenerates the state.
-            result = _resume_fusion(state, warp, frames, seq.camera, pipeline_cfg, on_frame, start_frame)
+            # Continue the fusion loop manually from the checkpointed
+            # state over the remaining frames (frame start_frame is the
+            # checkpoint's own live frame, so the source re-reads from it
+            # as the loop's reference point).
+            result = _resume_fusion(
+                state, warp, ds.frame_source(start_frame), ds.camera,
+                pipeline_cfg, on_frame, start_frame,
+            )
         else:
-            result = fuse_sequence(seq.frames, seq.camera, pipeline_cfg, frame_callback=on_frame)
+            result = fuse_sequence(
+                ds.frame_source(), ds.camera, pipeline_cfg,
+                frame_callback=on_frame,
+            )
         video.close()
         write_run_artifacts(
             out_dir, [], canonical=result.state.canonical, warp=result.final_warp
         )
         if cfg.checkpoint_every:
-            ckpt.save(ckpt_root, len(seq.frames) - 1, result.state, result.final_warp,
+            ckpt.save(ckpt_root, n_frames - 1, result.state, result.final_warp,
                       {"config": cfg.name, "final": True})
         # frames/s is BASELINE's north-star throughput metric (includes TSDF
         # generation, the warp solves, and the fusion blends). Count only the
@@ -217,7 +264,7 @@ def run_experiment(
         # measure steady state from the second processed frame on — the first
         # frame carries the XLA/Mosaic compile, which on short sequences
         # would otherwise dominate the metric.
-        processed = len(seq.frames) - start_frame
+        processed = n_frames - start_frame
         if len(frame_times) >= 2:
             fps = (len(frame_times) - 1) / max(
                 frame_times[-1] - frame_times[0], 1e-9
@@ -225,7 +272,8 @@ def run_experiment(
         else:
             fps = processed / max(logger.elapsed(), 1e-9)
         return logger.finish(
-            frames=len(seq.frames),
+            frames=n_frames,
+            dataset=ds.name,
             frames_processed=processed,
             frames_per_s=round(fps, 3),
             frames_per_s_incl_compile=round(
@@ -271,6 +319,7 @@ def run_experiment(
             iterations=int(res.iterations),
             converged=bool(res.converged),
             **_residual_metrics(canonical, live, warped),
+            **_contract_summary(res, cfg, sharded=True),
         )
 
     if cfg.mode == "multi_frame_sharded_3d":
@@ -279,11 +328,7 @@ def run_experiment(
         from levelsetfusion_tpu.models.fusion import fuse_sequence_sharded
         from levelsetfusion_tpu.parallel import make_mesh
 
-        seq_kwargs = dict(width=48, height=48, blob_radius_px=10.0,
-                          blob_height=0.05, drift_px_per_frame=(1.5, 0.0),
-                          pulse_amplitude=0.1)
-        seq_kwargs.update(cfg.dataset_kwargs)
-        seq = synthetic.snoopy_style_sequence_3d(cfg.num_frames, **seq_kwargs)
+        ds = _sequence_dataset(cfg)
         mesh = make_mesh(cfg.num_devices)
         pipeline_cfg = FusionPipelineConfig(
             grid=grid,
@@ -306,14 +351,14 @@ def run_experiment(
                 ckpt.save(ckpt_root, t, state, warp, {"config": cfg.name})
 
         result = fuse_sequence_sharded(
-            seq.frames, seq.camera, pipeline_cfg, mesh=mesh,
+            ds.frame_source(), ds.camera, pipeline_cfg, mesh=mesh,
             live_halo=cfg.live_halo, frame_callback=on_frame,
         )
         write_run_artifacts(
             out_dir, [], canonical=result.state.canonical,
             warp=result.final_warp,
         )
-        processed = len(seq.frames)
+        processed = len(ds)
         if len(frame_times) >= 2:
             fps = (len(frame_times) - 1) / max(
                 frame_times[-1] - frame_times[0], 1e-9
@@ -390,13 +435,20 @@ def run_experiment(
 
 
 def _resume_fusion(state, warp, frames, camera, pipeline_cfg, on_frame, frame_offset):
-    """Continue a fusion run from checkpointed state over remaining frames."""
+    """Continue a fusion run from checkpointed state over remaining frames.
+
+    ``frames`` is a frame source starting AT the checkpointed frame (whose
+    TSDF is already blended into ``state``), so the first yielded frame is
+    skipped and fusion continues from the one after it.
+    """
     from levelsetfusion_tpu.models.fusion import FusionResult, FrameReport
     from levelsetfusion_tpu.models.single_level import solve_single_level as _solve
     from levelsetfusion_tpu.ops.tsdf import generate_tsdf_3d as _gen
 
+    frame_iter = iter(frames)
+    next(frame_iter, None)  # the checkpointed frame itself
     reports = []
-    for j, frame in enumerate(frames[1:], start=1):
+    for j, frame in enumerate(frame_iter, start=1):
         live = _gen(
             jnp.asarray(frame), camera, pipeline_cfg.grid,
             narrow_band_width_voxels=pipeline_cfg.narrow_band_width_voxels,

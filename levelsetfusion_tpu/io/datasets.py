@@ -40,6 +40,41 @@ class SequenceDataset:
             return self.frames[t]
         return load_depth_png(self._paths[t])
 
+    def frame_source(self, start: int = 0):
+        """Sized iterable of frames from ``start``, for ``fuse_sequence``.
+
+        Disk-backed sequences return a native ``DepthPrefetcher`` when the
+        C++ decoder is built — frames t+1.. decode on background threads
+        while the device solves frame t (the ingest/solve overlap of
+        SURVEY §2's PP-analogue row). Falls back to lazy per-frame Python
+        decode, then to the in-memory list.
+        """
+        if self._paths:
+            paths = self._paths[start:]
+            from levelsetfusion_tpu.io import native_loader
+
+            if native_loader.native_available() and paths:
+                probe = load_depth_png(paths[0])
+                return native_loader.DepthPrefetcher(
+                    paths, width=probe.shape[1], height=probe.shape[0]
+                )
+            return _LazyFrames(paths)
+        return self.frames[start:]
+
+
+class _LazyFrames:
+    """Pure-Python fallback frame source: sized, ordered, decode-on-demand."""
+
+    def __init__(self, paths):
+        self._paths = paths
+
+    def __len__(self):
+        return len(self._paths)
+
+    def __iter__(self):
+        for p in self._paths:
+            yield load_depth_png(p)
+
 
 _REGISTRY: Dict[str, Callable[..., SequenceDataset]] = {}
 

@@ -112,6 +112,9 @@ class DepthPrefetcher:
     def __iter__(self):
         return self
 
+    def __len__(self) -> int:
+        return self._n
+
     def __next__(self) -> np.ndarray:
         if self._handle is None or self._consumed >= self._n:
             raise StopIteration

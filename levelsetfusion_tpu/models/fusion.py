@@ -134,15 +134,16 @@ def fuse_sequence_sharded(
 
     gen = jax.jit(_gen, out_shardings=sharding)
 
-    state = init_state(gen(jnp.asarray(frames[0])))
+    frame_iter = iter(frames)
+    state = init_state(gen(jnp.asarray(next(frame_iter))))
     d = grid.dim
     warp = jax.device_put(
         jnp.zeros(grid.shape + (d,), state.canonical.dtype), sharding
     )
     reports: List[FrameReport] = []
 
-    for t in range(1, len(frames)):
-        live = gen(jnp.asarray(frames[t]))
+    for t, frame in enumerate(frame_iter, start=1):
+        live = gen(jnp.asarray(frame))
         init_warp = warp if config.warm_start else jnp.zeros_like(warp)
         res = solve_single_level_sharded(
             state.canonical,
@@ -177,12 +178,18 @@ def fuse_sequence_sharded(
 
 
 def fuse_sequence(
-    frames: Sequence[np.ndarray],
+    frames,
     camera: PinholeCamera,
     config: FusionPipelineConfig,
     frame_callback: Callable[[int, FusionState, jnp.ndarray], None] | None = None,
 ) -> FusionResult:
     """Fuse a depth sequence into a canonical TSDF (SURVEY.md §3.3 loop).
+
+    ``frames`` is any iterable of depth images — a list, or a lazy source
+    such as ``io.native_loader.DepthPrefetcher`` (the PP-analogue from
+    SURVEY §2's parallelism table: frames are decoded ahead by native
+    threads while the device solves the current frame, so host IO rides
+    under device compute). Frames are consumed strictly in order, once.
 
     ``frame_callback(t, state, warp)`` is invoked after each frame for
     telemetry/visualization/checkpointing hooks.
@@ -198,13 +205,14 @@ def fuse_sequence(
             method=config.generation_method,
         )
 
-    state = init_state(gen(frames[0]))
+    frame_iter = iter(frames)
+    state = init_state(gen(next(frame_iter)))
     d = grid.dim
     warp = jnp.zeros(grid.shape + (d,), state.canonical.dtype)
     reports: List[FrameReport] = []
 
-    for t in range(1, len(frames)):
-        live = gen(frames[t])
+    for t, frame in enumerate(frame_iter, start=1):
+        live = gen(frame)
         init_warp = warp if config.warm_start else jnp.zeros_like(warp)
         if config.hierarchical:
             hres = solve_hierarchical(

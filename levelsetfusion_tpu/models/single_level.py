@@ -43,6 +43,14 @@ class SolveResult(NamedTuple):
     iterations: jnp.ndarray  # scalar int32: iterations actually run
     converged: jnp.ndarray  # scalar bool
     telemetry: SolveTelemetry
+    # Per-axis running max of |u| (voxel units) over every warp the solve
+    # resampled with (incl. the warm start) — the displacement-contract
+    # observable: the Pallas resample clamps reads beyond
+    # ``pallas_max_displacement`` and the sharded solvers read truncation
+    # fill beyond ``live_halo − 2`` rows, both silently; this scalar per
+    # axis is what ``utils.debug.check_displacement_contract`` compares
+    # against those limits. None on result paths that predate the guard.
+    max_abs_displacement: jnp.ndarray | None = None
 
 
 class _LoopState(NamedTuple):
@@ -52,6 +60,15 @@ class _LoopState(NamedTuple):
     learning_rate: jnp.ndarray
     prev_energy: jnp.ndarray
     telemetry: SolveTelemetry
+    max_disp: jnp.ndarray  # (D,) running max |u| per axis
+
+
+def _axis_max_abs(warp, component_major: bool):
+    """Per-axis max |u|: warp is (D, *spatial) or (*spatial, D)."""
+    if component_major:
+        axes = tuple(range(1, warp.ndim))
+        return jnp.max(jnp.abs(warp), axis=axes)
+    return jnp.max(jnp.abs(warp), axis=tuple(range(warp.ndim - 1)))
 
 
 def _solver_step(canonical, live, warp, params: SolverParams, kernel,
@@ -159,6 +176,7 @@ def solve_single_level(
         learning_rate=jnp.asarray(params.learning_rate, canonical.dtype),
         prev_energy=jnp.full((), jnp.inf, canonical.dtype),
         telemetry=SolveTelemetry(zeros, zeros, zeros, zeros, zeros),
+        max_disp=jnp.zeros((d,), canonical.dtype),
     )
 
     def cond(state: _LoopState):
@@ -214,6 +232,11 @@ def solve_single_level(
         return new_warp, stats.max_update, stats.sum_update / num_voxels, energies
 
     def body(state: _LoopState):
+        # The warp entering this body is what the resample gathers with —
+        # exactly the value the displacement contract constrains.
+        max_disp = jnp.maximum(
+            state.max_disp, _axis_max_abs(state.warp, use_fused)
+        )
         if use_fused:
             new_warp, max_update, mean_update, energies = _step_fused(
                 state.warp, state.learning_rate
@@ -255,6 +278,7 @@ def solve_single_level(
             learning_rate=new_rate,
             prev_energy=energy,
             telemetry=tel,
+            max_disp=max_disp,
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -263,4 +287,7 @@ def solve_single_level(
         iterations=final.iteration,
         converged=final.max_update < params.convergence_threshold,
         telemetry=final.telemetry,
+        max_abs_displacement=jnp.maximum(
+            final.max_disp, _axis_max_abs(final.warp, use_fused)
+        ),
     )

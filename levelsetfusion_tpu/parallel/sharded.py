@@ -524,10 +524,11 @@ def solve_single_level_sharded(
             jnp.asarray(params.learning_rate, canon_blk.dtype),
             jnp.full((), jnp.inf, canon_blk.dtype),
             SolveTelemetry(zeros, zeros, zeros, zeros, zeros),
+            jnp.zeros((d,), canon_blk.dtype),
         )
 
         def cond(state):
-            _, it, max_up, _, _, _ = state
+            _, it, max_up, _, _, _, _ = state
             return (it < n_iter) & (max_up >= params.convergence_threshold)
 
         def _fused_step(warp_cm, rate):
@@ -567,7 +568,12 @@ def solve_single_level_sharded(
             )
 
         def body(state):
-            warp, it, _, rate, prev_e, tel = state
+            warp, it, _, rate, prev_e, tel, max_disp = state
+            # Displacement-contract observable: per-axis max |u| of the warp
+            # this iteration resamples with (per-shard; pmax'd after the loop).
+            from levelsetfusion_tpu.models.single_level import _axis_max_abs
+
+            max_disp = jnp.maximum(max_disp, _axis_max_abs(warp, use_fused))
             if use_fused:
                 new_warp, stats = _fused_step(warp, rate)
                 e_data = lax.psum(stats.data_energy, axis_name)
@@ -597,12 +603,19 @@ def solve_single_level_sharded(
                 max_warp_update=tel.max_warp_update.at[it].set(max_up),
                 mean_warp_update=tel.mean_warp_update.at[it].set(mean_up),
             )
-            return (new_warp, it + 1, max_up, rate, energy, tel)
+            return (new_warp, it + 1, max_up, rate, energy, tel, max_disp)
 
-        warp, it, max_up, _, _, tel = lax.while_loop(cond, body, init)
+        warp, it, max_up, _, _, tel, max_disp = lax.while_loop(
+            cond, body, init
+        )
+        from levelsetfusion_tpu.models.single_level import _axis_max_abs
+
+        max_disp = lax.pmax(
+            jnp.maximum(max_disp, _axis_max_abs(warp, use_fused)), axis_name
+        )
         if use_fused:
             warp = jnp.moveaxis(warp, 0, -1)
-        return warp, it, max_up < params.convergence_threshold, tel
+        return warp, it, max_up < params.convergence_threshold, tel, max_disp
 
     spec = P(axis_name)
     rep = P()
@@ -615,10 +628,14 @@ def solve_single_level_sharded(
             rep,
             rep,
             SolveTelemetry(rep, rep, rep, rep, rep),
+            rep,
         ),
         check_vma=False,
     )
-    warp, iterations, converged, telemetry = fn(canonical, live, initial_warp)
+    warp, iterations, converged, telemetry, max_disp = fn(
+        canonical, live, initial_warp
+    )
     return SolveResult(
-        warp=warp, iterations=iterations, converged=converged, telemetry=telemetry
+        warp=warp, iterations=iterations, converged=converged,
+        telemetry=telemetry, max_abs_displacement=max_disp,
     )

@@ -312,14 +312,18 @@ def solve_single_level_sharded2d(
             jnp.asarray(params.learning_rate, canon_blk.dtype),
             jnp.full((), jnp.inf, canon_blk.dtype),
             SolveTelemetry(zeros, zeros, zeros, zeros, zeros),
+            jnp.zeros((d,), canon_blk.dtype),
         )
 
         def cond(state):
-            _, it, max_up, _, _, _ = state
+            _, it, max_up, _, _, _, _ = state
             return (it < n_iter) & (max_up >= params.convergence_threshold)
 
         def body(state):
-            warp, it, _, rate, prev_e, tel = state
+            warp, it, _, rate, prev_e, tel, max_disp = state
+            from levelsetfusion_tpu.models.single_level import _axis_max_abs
+
+            max_disp = jnp.maximum(max_disp, _axis_max_abs(warp, False))
             grad, (e_data, e_smooth, e_ls) = block_gradient(
                 canon_blk, live_ext, warp
             )
@@ -340,10 +344,20 @@ def solve_single_level_sharded2d(
                 max_warp_update=tel.max_warp_update.at[it].set(max_up),
                 mean_warp_update=tel.mean_warp_update.at[it].set(mean_up),
             )
-            return (new_warp, it + 1, max_up, rate, energy, tel)
+            return (new_warp, it + 1, max_up, rate, energy, tel, max_disp)
 
-        warp, it, max_up, _, _, tel = lax.while_loop(cond, body, init)
-        return warp, it, max_up < params.convergence_threshold, tel
+        warp, it, max_up, _, _, tel, max_disp = lax.while_loop(
+            cond, body, init
+        )
+        from levelsetfusion_tpu.models.single_level import _axis_max_abs
+
+        max_disp = lax.pmax(
+            lax.pmax(
+                jnp.maximum(max_disp, _axis_max_abs(warp, False)), an0
+            ),
+            an1,
+        )
+        return warp, it, max_up < params.convergence_threshold, tel, max_disp
 
     spec = P(an0, an1)
     rep = P()
@@ -356,11 +370,14 @@ def solve_single_level_sharded2d(
             rep,
             rep,
             SolveTelemetry(rep, rep, rep, rep, rep),
+            rep,
         ),
         check_vma=False,
     )
-    warp, iterations, converged, telemetry = fn(canonical, live, initial_warp)
+    warp, iterations, converged, telemetry, max_disp = fn(
+        canonical, live, initial_warp
+    )
     return SolveResult(
         warp=warp, iterations=iterations, converged=converged,
-        telemetry=telemetry,
+        telemetry=telemetry, max_abs_displacement=max_disp,
     )

@@ -19,13 +19,19 @@ from levelsetfusion_tpu.ops.tsdf import GenerationMethod
 class ExperimentConfig:
     name: str
     # "single_pair_2d" | "hierarchical_2d" | "single_pair_3d" |
-    # "multi_frame_3d" | "sharded_3d" | "rigid_2d" | "rigid_3d"
+    # "multi_frame_3d" | "multi_frame_sharded_3d" | "sharded_3d" |
+    # "rigid_2d" | "rigid_3d"
     mode: str
     grid_shape: Tuple[int, ...] = (96, 48)
     voxel_size: float = 0.004
     grid_offset: Tuple[int, ...] = (-48, 85)
     narrow_band_width_voxels: int = 20
     generation_method: GenerationMethod = GenerationMethod.BASIC
+    # Multi-frame modes resolve this through io.datasets (SURVEY §2.2):
+    # "synthetic" = inline snoopy-style generator with the CLI defaults;
+    # "depth_directory" + dataset_kwargs={"path": ...} fuses 16-bit depth
+    # PNGs off disk (native threaded decode when the C++ extension builds).
+    # 2D/rigid modes pass dataset_kwargs straight to their generators.
     dataset: str = "synthetic"
     dataset_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
     solver: SolverParams = SolverParams()

@@ -77,3 +77,58 @@ def tap_finite(x: jnp.ndarray, name: str) -> jnp.ndarray:
         jnp.max(jnp.where(finite, jnp.abs(x), 0.0)),
     )
     return x
+
+
+class DisplacementContractError(RuntimeError):
+    pass
+
+
+def check_displacement_contract(
+    result,
+    *,
+    pallas_max_displacement: int | None = None,
+    live_halo: int | None = None,
+    sharded_axes: tuple = (0,),
+    name: str = "solve",
+    error: bool = False,
+) -> list[str]:
+    """Compare a solve's measured per-axis max |u| against the fast paths'
+    silent-clamp limits (VERDICT r2 weak #3).
+
+    The Pallas resample clamps per-voxel x/y (and multi-slab z)
+    displacements to ``±pallas_max_displacement``; the sharded solvers read
+    truncation fill beyond ``live_halo − 2`` rows of a block edge. Both are
+    silent by design (branchless kernels); this guard makes a violation
+    loud. Returns the list of violation messages (also logged as warnings);
+    raises DisplacementContractError instead when ``error=True``.
+    """
+    md = getattr(result, "max_abs_displacement", None)
+    if md is None:
+        return []
+    md = np.asarray(md)
+    violations = []
+    if pallas_max_displacement is not None:
+        over = md > pallas_max_displacement
+        if over.any():
+            violations.append(
+                f"{name}: max |u| per axis {md.tolist()} exceeds "
+                f"pallas_max_displacement={pallas_max_displacement} on "
+                f"axes {np.nonzero(over)[0].tolist()} — the Pallas resample "
+                "clamped reads; results are not exact. Raise "
+                "pallas_max_displacement or solve coarse-to-fine."
+            )
+    if live_halo is not None:
+        limit = live_halo - 2
+        for ax in sharded_axes:
+            if md[ax] > limit:
+                violations.append(
+                    f"{name}: max |u[{ax}]| = {md[ax]:.3f} exceeds the "
+                    f"sharded halo contract live_halo−2 = {limit} — "
+                    "cross-block resample reads returned truncation fill. "
+                    "Raise live_halo or use solve_hierarchical_sharded."
+                )
+    for v in violations:
+        _log.warning(v)
+    if violations and error:
+        raise DisplacementContractError("; ".join(violations))
+    return violations
