@@ -34,7 +34,12 @@ def _sphere_pair(shape, offset=0.01):
     return canonical, live
 
 
-def cpu_mesh():
+def cpu_mesh(schur: bool = False, n_iter: int = 10):
+    """512³ over 8 virtual CPU devices, FULL energy (Killing + level-set +
+    Sobolev), ≥10 iterations (VERDICT r2 #5: 1 iteration does not exercise
+    the iterated halo/termination machinery). ``--schur`` additionally runs
+    the Schur-style solver on the same problem and records its gap to the
+    synchronous fixed point + wall-clock."""
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
@@ -45,15 +50,17 @@ def cpu_mesh():
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from levelsetfusion_tpu.models.params import SolverParams
+    from levelsetfusion_tpu.models.params import SmoothingMode, SolverParams
     from levelsetfusion_tpu.models.single_level import solve_single_level
     from levelsetfusion_tpu.parallel.sharded import solve_single_level_sharded
 
     shape = (512, 512, 512)
     canonical, live = _sphere_pair(shape)
     params = SolverParams(
-        max_iterations=1, learning_rate=0.3, smoothing_term_weight=0.1,
-        sobolev_smoothing=True, convergence_threshold=0.0,
+        max_iterations=n_iter, learning_rate=0.3,
+        smoothing_term_weight=0.1, smoothing_mode=SmoothingMode.KILLING,
+        level_set_term_weight=0.1, sobolev_smoothing=True,
+        convergence_threshold=0.0,
     )
 
     mesh = Mesh(np.array(jax.devices()), ("x",))
@@ -71,20 +78,54 @@ def cpu_mesh():
     jax.block_until_ready(ref.warp)
     t_single = time.time() - t0
 
+    n = int(res.iterations)
     err = float(np.max(np.abs(np.asarray(res.warp) - np.asarray(ref.warp))))
+    tel_err = max(
+        float(np.max(np.abs(
+            np.asarray(getattr(res.telemetry, f))[:n]
+            - np.asarray(getattr(ref.telemetry, f))[:n]
+        )))
+        for f in res.telemetry._fields
+    )
     out = {
-        "mode": "cpu_mesh_512",
+        "mode": "cpu_mesh_512_full_energy",
         "shape": shape,
         "devices": 8,
-        "iterations": int(res.iterations),
+        "iterations": n,
         "warp_parity_max_abs_err": err,
+        "telemetry_parity_max_abs_err": tel_err,
+        "max_abs_displacement": [float(v) for v in
+                                 np.asarray(res.max_abs_displacement)],
         "sharded_seconds": t_sharded,
         "single_seconds": t_single,
-        "energies": [float(res.telemetry.data_energy[0]),
-                     float(res.telemetry.smoothing_energy[0])],
+        "energies_last": [float(res.telemetry.data_energy[n - 1]),
+                          float(res.telemetry.smoothing_energy[n - 1]),
+                          float(res.telemetry.level_set_energy[n - 1])],
     }
     print(json.dumps(out))
     assert err < 1e-5, err
+
+    if schur:
+        from levelsetfusion_tpu.parallel.schur import solve_single_level_schur
+
+        t0 = time.time()
+        sres = solve_single_level_schur(
+            jax.device_put(canonical, sh), jax.device_put(live, sh),
+            params.replace(max_iterations=max(n_iter, 16)),
+            mesh=mesh, live_halo=8, inner_iterations=8,
+        )
+        jax.block_until_ready(sres.warp)
+        t_schur = time.time() - t0
+        gap = float(np.max(np.abs(np.asarray(sres.warp) - np.asarray(ref.warp))))
+        out2 = {
+            "mode": "cpu_mesh_512_schur",
+            "outer_steps": int(sres.outer_steps),
+            "inner_per_outer": int(sres.inner_per_outer),
+            "collective_rounds_per_outer": 3,
+            "schur_seconds": t_schur,
+            "warp_gap_to_sync_fixed_point": gap,
+        }
+        print(json.dumps(out2))
 
 
 def tpu_shard():
@@ -134,8 +175,11 @@ def tpu_shard():
 
 if __name__ == "__main__":
     if "--cpu-mesh" in sys.argv:
-        cpu_mesh()
+        cpu_mesh(schur="--schur" in sys.argv)
     elif "--tpu-shard" in sys.argv:
         tpu_shard()
     else:
-        print("usage: config5_512_acceptance.py [--cpu-mesh | --tpu-shard]")
+        print(
+            "usage: config5_512_acceptance.py"
+            " [--cpu-mesh [--schur] | --tpu-shard [--no-fused]]"
+        )

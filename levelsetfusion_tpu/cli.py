@@ -298,6 +298,15 @@ def run_experiment(
                 canonical, live, cfg.solver, mesh=mesh,
                 live_halo=cfg.live_halo,
             )
+        elif cfg.solver_kind == "schur":
+            from levelsetfusion_tpu.parallel import solve_single_level_schur
+
+            mesh = make_mesh(cfg.num_devices)
+            res = solve_single_level_schur(
+                canonical, live, cfg.solver, mesh=mesh,
+                live_halo=cfg.live_halo,
+                inner_iterations=cfg.schur_inner_iterations,
+            )
         else:
             mesh = make_mesh(cfg.num_devices)
             res = solve_single_level_sharded(
@@ -314,12 +323,22 @@ def run_experiment(
             warped = warp_field_sharded(
                 live, res.warp, mesh=mesh, live_halo=cfg.live_halo
             )
+        extra = {}
+        if cfg.solver_kind == "schur":
+            extra = {
+                "solver_kind": "schur",
+                "outer_steps": int(res.outer_steps),
+                "inner_per_outer": int(res.inner_per_outer),
+                "total_inner_iterations": int(res.outer_steps)
+                * int(res.inner_per_outer),
+            }
         return logger.finish(
             devices=int(np.prod(list(mesh.shape.values()))),
             iterations=int(res.iterations),
             converged=bool(res.converged),
             **_residual_metrics(canonical, live, warped),
             **_contract_summary(res, cfg, sharded=True),
+            **extra,
         )
 
     if cfg.mode == "multi_frame_sharded_3d":

@@ -133,6 +133,11 @@ class SchurResult(NamedTuple):
     converged: jnp.ndarray
     telemetry: SchurTelemetry
 
+    @property
+    def iterations(self):
+        """Alias: telemetry rows are per OUTER step (logger/CLI compat)."""
+        return self.outer_steps
+
 
 @partial(
     jax.jit,

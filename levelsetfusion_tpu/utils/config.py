@@ -43,6 +43,12 @@ class ExperimentConfig:
     # (s0, s1) = 2D voxel-block mesh (axes 0 and 1; parallel/sharded2d).
     mesh_shape: Optional[Tuple[int, int]] = None
     live_halo: int = 8
+    # Distributed solver structure for sharded_3d (1D mesh):
+    # "sync"  = per-iteration halo exchange (parallel.sharded);
+    # "schur" = block-local inner iterations + Schur-style interface
+    #           reduction, ~T× fewer collectives (parallel.schur).
+    solver_kind: str = "sync"
+    schur_inner_iterations: int = 8
 
     def to_json(self) -> str:
         def default(o):
@@ -168,6 +174,22 @@ PRESETS: Dict[str, ExperimentConfig] = {
         grid_offset=(-64, -32, 38),
         solver=_solver_3d(max_iterations=60, use_pallas_resample=True),
         live_halo=8,
+    ),
+    # 5-Schur. Same problem as config5_sharded solved with the BASELINE
+    # north_star's mandated distributed structure: block-local inner
+    # iterations + Schur-complement-style interface reduction (~8× fewer
+    # collective rounds than the sync solver; see parallel/schur.py).
+    "config5_sharded_schur": ExperimentConfig(
+        name="config5_sharded_schur",
+        mode="sharded_3d",
+        grid_shape=(128, 64, 128),
+        voxel_size=0.008,
+        grid_offset=(-64, -32, 38),
+        solver=_solver_3d(max_iterations=60, use_pallas_resample=True,
+                          adaptive_learning_rate=False),
+        live_halo=8,
+        solver_kind="schur",
+        schur_inner_iterations=8,
     ),
     # 5b. BASELINE's mandated scale for config 5: a 512³ volume sharded over
     # the device mesh (64×512×512 per shard on 8 devices). On the virtual

@@ -120,3 +120,20 @@ def test_config1_converges_with_accuracy_gate(tmp_path):
     s = run_experiment(PRESETS["config1_2d_pair"], out)
     assert s["converged"] is True
     assert s["residual_reduction"] > 3.0, s["residual_reduction"]
+
+
+def test_config5_schur_runs(tmp_path):
+    cfg = small(
+        PRESETS["config5_sharded_schur"],
+        grid_shape=(64, 32, 32),
+        solver=PRESETS["config5_sharded_schur"].solver.replace(
+            max_iterations=16, use_pallas_resample=False
+        ),
+    )
+    out = str(tmp_path / "c5s")
+    s = run_experiment(cfg, out)
+    _check_artifacts(out)
+    assert s["solver_kind"] == "schur"
+    assert s["inner_per_outer"] == 8
+    assert s["total_inner_iterations"] == s["outer_steps"] * 8
+    assert s["residual_reduction"] > 1.0
