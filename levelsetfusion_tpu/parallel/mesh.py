@@ -58,8 +58,10 @@ def initialize_distributed(
     ppermutes ride ICI between neighboring chips; only the two cross-host
     boundary exchanges per step touch DCN. No-ops on a single process.
 
-    (Untestable in this single-host container; exercised by the driver's
-    multi-chip dry run via virtual devices.)
+    Exercised by ``tests/test_distributed_smoke.py``: two real OS processes
+    (one CPU device each) bring up the coordinator, form the global mesh,
+    and run a sharded solve whose every halo exchange crosses the process
+    boundary, matching single-device telemetry.
     """
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
