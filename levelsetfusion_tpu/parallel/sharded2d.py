@@ -21,12 +21,15 @@ applied along BOTH sharded axes:
   with a tuple of axis names) — global max-warp-update semantics identical
   to the single-device solver.
 
-The warp resample runs on the golden jnp path gathered from the haloed live
-block (displacements must stay within ``live_halo - 2`` of a block face —
-same contract as the 1D solver). The per-shard Pallas resample currently
-engages only on the 1D path (its window machinery is x-specific); a 2D-mesh
-Pallas block path is future work — on a pod, axis 0 sharding over the
-longer mesh dimension keeps the Pallas path available via the 1D solver.
+The warp resample uses the per-shard Pallas kernel when supported
+(displacements must stay within ``live_halo - 2`` of a block face — same
+contract as the 1D solver): the block's x window rides the kernel's
+existing ``x_start`` machinery (shared ``prepare_block_resample``), and the
+y-sharded axis needs NO new windowing — the kernel resamples the FULL
+y-extended block under an identity y mapping (the warp is zero-padded over
+the ``live_halo - 2`` ghost columns) and the ghost columns are cropped
+after; the only cost is ~2·(live_halo−2)/n1 redundant compute. Golden jnp
+gather otherwise.
 
 Reference anchor: BASELINE config 5; SURVEY.md §5 long-context row.
 """
@@ -54,6 +57,27 @@ from levelsetfusion_tpu.parallel.halo import (
     halo_exchange,
     second_diff,
 )
+from levelsetfusion_tpu.parallel.sharded import prepare_block_resample
+
+
+def pallas_block2d_supported(
+    params: SolverParams, canonical, live_halo: int, n1: int
+) -> bool:
+    """Static gate for the 2D-mesh per-shard Pallas resample: 3D volume,
+    lane-width z, sublane-aligned y extents, and a live halo wide enough
+    for the kernel's clamp window plus the 2 stencil ghosts."""
+    from levelsetfusion_tpu.ops.pallas.resample import (
+        pallas_resample_supported,
+    )
+
+    kk = params.pallas_max_displacement
+    return (
+        params.use_pallas_resample
+        and canonical.ndim == 3
+        and live_halo >= kk + 3
+        and (n1 + 2 * live_halo) % 8 == 0
+        and pallas_resample_supported(canonical, params.pallas_interpret)
+    )
 
 
 def _crop(a, g0, g1):
@@ -144,7 +168,7 @@ def solve_single_level_sharded2d(
         x = halo_exchange(x, width, an0, nd0, fill=fill, axis=0)
         return halo_exchange(x, width, an1, nd1, fill=fill, axis=1)
 
-    def block_gradient(canon_blk, live_ext, warp):
+    def block_gradient(canon_blk, live_ext, warp, prepared=None):
         idx0 = lax.axis_index(an0)
         idx1 = lax.axis_index(an1)
         start0 = idx0 * n0
@@ -152,23 +176,51 @@ def solve_single_level_sharded2d(
 
         # ---- warped live on block + 2 ghosts per sharded axis ------------
         warp_ext = exch2(warp, 2, "replicate")
-        shape_ext = (n0 + 4, n1 + 4) + canon_blk.shape[2:]
-        pos0 = (
-            start0 - 2 + lax.broadcasted_iota(jnp.int32, shape_ext, 0)
-        ).astype(warp.dtype)
-        pos1 = (
-            start1 - 2 + lax.broadcasted_iota(jnp.int32, shape_ext, 1)
-        ).astype(warp.dtype)
-        coords = [
-            pos0 - (start0 - live_halo) + warp_ext[..., 0],
-            pos1 - (start1 - live_halo) + warp_ext[..., 1],
-        ]
-        for ax in range(2, d):
-            ident = lax.broadcasted_iota(jnp.int32, shape_ext, ax).astype(
-                warp.dtype
+        if prepared is not None:
+            # Pallas path: x window via x_start (as the 1D solver); full
+            # y-extended extent under identity y mapping, ghosts cropped.
+            from levelsetfusion_tpu.ops.pallas.resample import (
+                pick_y_block,
+                warp_field_pallas_prepared,
             )
-            coords.append(ident + warp_ext[..., ax])
-        we = sample_at(live_ext, jnp.stack(coords, axis=-1))
+
+            kk = params.pallas_max_displacement
+            stacked, flags, xe = prepared
+            hd = live_halo - 2
+            warp_cm = jnp.moveaxis(warp_ext, -1, 0)
+            warp_cm = jnp.pad(
+                warp_cm,
+                ((0, 0), (0, xe - (n0 + 4)), (hd, hd), (0, 0)),
+            )
+            we_full = warp_field_pallas_prepared(
+                stacked,
+                warp_cm,
+                kk,
+                y_block=pick_y_block(warp_cm.shape[1:]),
+                interpret=params.pallas_interpret,
+                skip_flags=flags,
+                x_start=kk,
+                component_major=True,
+            )
+            we = we_full[: n0 + 4, hd : hd + n1 + 4]
+        else:
+            shape_ext = (n0 + 4, n1 + 4) + canon_blk.shape[2:]
+            pos0 = (
+                start0 - 2 + lax.broadcasted_iota(jnp.int32, shape_ext, 0)
+            ).astype(warp.dtype)
+            pos1 = (
+                start1 - 2 + lax.broadcasted_iota(jnp.int32, shape_ext, 1)
+            ).astype(warp.dtype)
+            coords = [
+                pos0 - (start0 - live_halo) + warp_ext[..., 0],
+                pos1 - (start1 - live_halo) + warp_ext[..., 1],
+            ]
+            for ax in range(2, d):
+                ident = lax.broadcasted_iota(
+                    jnp.int32, shape_ext, ax
+                ).astype(warp.dtype)
+                coords.append(ident + warp_ext[..., ax])
+            we = sample_at(live_ext, jnp.stack(coords, axis=-1))
         we = _replicate_global_ghosts(we, 2, an0, nd0, axis=0)
         we = _replicate_global_ghosts(we, 2, an1, nd1, axis=1)
         warped = _crop(we, 2, 2)
@@ -301,8 +353,17 @@ def solve_single_level_sharded2d(
         )
         return total, energies
 
+    use_pallas = pallas_block2d_supported(params, canonical, live_halo, n1)
+
     def run(canon_blk, live_blk, warp0_blk):
         live_ext = exch2(live_blk, live_halo, "truncation")
+        prepared = None
+        if use_pallas:
+            # x-axis prep is identical to the 1D solver's; the full
+            # y-extended extent passes through untouched.
+            prepared = prepare_block_resample(
+                live_ext, params, live_halo, n0, ghost=2
+            )
 
         zeros = jnp.zeros((n_iter,), canon_blk.dtype)
         init = (
@@ -325,7 +386,7 @@ def solve_single_level_sharded2d(
 
             max_disp = jnp.maximum(max_disp, _axis_max_abs(warp, False))
             grad, (e_data, e_smooth, e_ls) = block_gradient(
-                canon_blk, live_ext, warp
+                canon_blk, live_ext, warp, prepared
             )
             update = -rate * grad
             new_warp = warp + update

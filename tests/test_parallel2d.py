@@ -126,3 +126,37 @@ def test_cli_sharded_mode_2d_mesh(tmp_path):
     assert s["devices"] == 8
     assert s["iterations"] == 6
     assert s["residual_reduction"] > 0
+
+
+def test_parity_pallas_resample_2x2_interpret():
+    """2D-mesh per-shard Pallas resample (x window + full-y-extent identity
+    mapping, interpret mode) vs the single-device solver."""
+    params = SolverParams(
+        max_iterations=10, learning_rate=0.3, sobolev_smoothing=True,
+        use_pallas_resample=True, pallas_max_displacement=2,
+        pallas_interpret=True,
+    )
+    _parity(params, mesh_shape=(2, 2), shape=(16, 16, 128))
+
+
+def test_parity_pallas_resample_killing_levelset_2x2_interpret():
+    params = SolverParams(
+        max_iterations=8, learning_rate=0.3,
+        smoothing_mode=SmoothingMode.KILLING, level_set_term_weight=0.1,
+        use_pallas_resample=True, pallas_max_displacement=2,
+        pallas_interpret=True,
+    )
+    _parity(params, mesh_shape=(2, 2), shape=(16, 16, 128))
+
+
+def test_pallas2d_gate():
+    from levelsetfusion_tpu.parallel.sharded2d import pallas_block2d_supported
+
+    p = SolverParams(use_pallas_resample=True, pallas_max_displacement=2,
+                     pallas_interpret=True)
+    ok = jnp.zeros((16, 16, 128))
+    assert pallas_block2d_supported(p, ok, live_halo=8, n1=8)
+    # halo too small for the clamp window
+    assert not pallas_block2d_supported(p, ok, live_halo=4, n1=8)
+    # non-lane trailing extent
+    assert not pallas_block2d_supported(p, jnp.zeros((16, 16, 12)), 8, 8)
