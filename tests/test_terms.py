@@ -148,3 +148,17 @@ def test_level_set_term_pushes_toward_eikonal():
     g = derivatives.gradient(phi)
     _, e = terms.level_set_term(phi, g, band_union_only=False)
     np.testing.assert_allclose(float(e), 0.5 * 0.25 * n * n, rtol=1e-5)
+
+
+def test_killing_energy_maps_to_paper_form():
+    """The docstring's mapping to KillingFusion's damped AKVF energy
+    E_p = Σ(‖J+Jᵀ‖² + γ_p‖J‖²): E_here(γ) = ¼·E_p with γ_p = 2γ."""
+    rng = np.random.default_rng(5)
+    warp = jnp.asarray(rng.standard_normal((6, 5, 7, 3)).astype(np.float32))
+    gamma = 0.1
+    _, e_here = terms.killing_term(warp, gamma)
+
+    jac = derivatives.vector_jacobian(warp)
+    sym = jac + jnp.swapaxes(jac, -1, -2)
+    e_paper = float(jnp.sum(sym * sym) + 2 * gamma * jnp.sum(jac * jac))
+    np.testing.assert_allclose(float(e_here), 0.25 * e_paper, rtol=1e-6)
