@@ -69,3 +69,41 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+
+
+def solve_single_level_auto(
+    canonical,
+    live,
+    params=None,
+    *,
+    mesh: Mesh,
+    axis_name: str = "x",
+    initial_warp=None,
+):
+    """GSPMD auto-sharded solve (the pjit/scaling-book recipe, SURVEY.md §2
+    parallelism table): run the *single-device* solver under jit with
+    sharded inputs and let XLA's SPMD partitioner insert the collectives
+    for the stencils and the warp-resample gather.
+
+    This is the zero-new-math path — semantics are identical to
+    ``models.single_level.solve_single_level`` by construction. The
+    hand-rolled ``parallel.sharded`` solver exists because (a) BASELINE
+    config 5 mandates explicit voxel-block halo exchange, and (b) explicit
+    neighbor ``ppermute`` of 2–3 ghost rows beats the partitioner's general
+    handling of the resample gather (which may all-gather the live volume).
+    Pallas caveat: ``pallas_call`` has no SPMD partitioning rules, so under
+    GSPMD the partitioner falls back to gathering its operands — correct
+    (asserted in tests/test_parallel.py) but not the fast path; use the
+    explicit sharded solvers when Pallas kernels should run per shard.
+    """
+    from levelsetfusion_tpu.models.params import SolverParams
+    from levelsetfusion_tpu.models.single_level import solve_single_level
+
+    if params is None:
+        params = SolverParams()
+    sharding = NamedSharding(mesh, P(axis_name))
+    canonical = jax.device_put(canonical, sharding)
+    live = jax.device_put(live, sharding)
+    if initial_warp is not None:
+        initial_warp = jax.device_put(initial_warp, sharding)
+    return solve_single_level(canonical, live, params, initial_warp=initial_warp)

@@ -19,8 +19,9 @@ contiguous voxel blocks along spatial axis 0 across a 1D device mesh:
   ``while_loop`` — global max-warp-update semantics identical to the
   single-device solver, which the parity tests assert to float tolerance.
 
-This is the hand-rolled halo path. ``parallel.auto`` offers the GSPMD
-alternative (jit + sharding annotations, XLA inserts the collectives); both
+This is the hand-rolled halo path. ``parallel.mesh.solve_single_level_auto``
+offers the GSPMD alternative (jit + sharding annotations, XLA inserts the
+collectives); both
 solve BASELINE config 5's "voxel-block partitioning, halo exchange,
 distributed warp solve".
 """
