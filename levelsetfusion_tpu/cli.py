@@ -86,11 +86,12 @@ def _pair_2d(cfg: ExperimentConfig, grid: GridSpec):
 def _pair_3d(cfg: ExperimentConfig, grid: GridSpec):
     kwargs = dict(blob_height=0.06, blob_radius_px=18.0)
     kwargs.update(cfg.dataset_kwargs)
+    shift = kwargs.pop("live_shift_px", 4.0)
     cam = synthetic.default_camera_3d(128, 128)
     canonical_depth = synthetic.blob_wall_depth_3d(cam, **kwargs)
     live_depth = synthetic.blob_wall_depth_3d(
         cam,
-        blob_center_px=(64.0 + 4.0, 64.0),
+        blob_center_px=(64.0 + shift, 64.0),
         **kwargs,
     )
     gen = lambda d: generate_tsdf_3d(  # noqa: E731
@@ -339,6 +340,38 @@ def run_experiment(
             **_residual_metrics(canonical, live, warped),
             **_contract_summary(res, cfg, sharded=True),
             **extra,
+        )
+
+    if cfg.mode == "hierarchical_sharded_3d":
+        # Config 5 × §3.2: coarse-to-fine on a sharded volume — the path
+        # for motions larger than the flat sharded solver's halo contract.
+        from levelsetfusion_tpu.parallel import make_mesh
+        from levelsetfusion_tpu.parallel.hierarchical import (
+            solve_hierarchical_sharded,
+        )
+
+        canonical, live = _pair_3d(cfg, grid)
+        mesh = make_mesh(cfg.num_devices)
+        hp = HierarchicalParams(levels=cfg.levels, base=cfg.solver)
+        res = solve_hierarchical_sharded(canonical, live, hp, mesh=mesh)
+        all_rows = []
+        for level, lr in enumerate(res.level_results):
+            logger.log_solve(lr, level=level)
+            all_rows += telemetry_to_rows(lr.telemetry, lr.iterations)
+        warped = warp_field(live, res.warp)  # GSPMD shards the gather
+        write_run_artifacts(
+            out_dir, all_rows, canonical, live, warped, res.warp
+        )
+        finest = res.level_results[-1]
+        return logger.finish(
+            devices=int(np.prod(list(mesh.shape.values()))),
+            levels=cfg.levels,
+            iterations_per_level=[
+                int(r.iterations) for r in res.level_results
+            ],
+            converged=bool(finest.converged),
+            **_residual_metrics(canonical, live, warped),
+            **_contract_summary(finest, cfg, sharded=True),
         )
 
     if cfg.mode == "multi_frame_sharded_3d":

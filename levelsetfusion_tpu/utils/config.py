@@ -20,7 +20,7 @@ class ExperimentConfig:
     name: str
     # "single_pair_2d" | "hierarchical_2d" | "single_pair_3d" |
     # "multi_frame_3d" | "multi_frame_sharded_3d" | "sharded_3d" |
-    # "rigid_2d" | "rigid_3d"
+    # "hierarchical_sharded_3d" | "rigid_2d" | "rigid_3d"
     mode: str
     grid_shape: Tuple[int, ...] = (96, 48)
     voxel_size: float = 0.004
@@ -203,6 +203,22 @@ PRESETS: Dict[str, ExperimentConfig] = {
         voxel_size=0.004,
         grid_offset=(-256, -256, 38),
         solver=_solver_3d(max_iterations=30, use_pallas_resample=True),
+        live_halo=8,
+    ),
+    # 5-hier. Coarse-to-fine on the sharded volume (parallel.hierarchical):
+    # the supported path when motion exceeds the flat solver's
+    # live_halo − 2 contract — coarse levels run replicated and absorb the
+    # motion, fine levels run sharded with the halo sized from the measured
+    # coarse displacement.
+    "config5_hierarchical": ExperimentConfig(
+        name="config5_hierarchical",
+        mode="hierarchical_sharded_3d",
+        grid_shape=(128, 64, 128),
+        voxel_size=0.008,
+        grid_offset=(-64, -32, 38),
+        levels=3,
+        dataset_kwargs={"live_shift_px": 10.0},
+        solver=_solver_3d(max_iterations=60),
         live_halo=8,
     ),
     # Rigid SDF-2-SDF (reference component §2.11).

@@ -137,3 +137,20 @@ def test_config5_schur_runs(tmp_path):
     assert s["inner_per_outer"] == 8
     assert s["total_inner_iterations"] == s["outer_steps"] * 8
     assert s["residual_reduction"] > 1.0
+
+
+def test_config5_hierarchical_runs(tmp_path):
+    cfg = small(
+        PRESETS["config5_hierarchical"],
+        grid_shape=(64, 32, 32),
+        solver=PRESETS["config5_hierarchical"].solver.replace(
+            max_iterations=15
+        ),
+    )
+    out = str(tmp_path / "c5h")
+    s = run_experiment(cfg, out)
+    _check_artifacts(out)
+    assert s["levels"] == 3
+    assert len(s["iterations_per_level"]) == 3
+    assert s["residual_reduction"] > 1.0
+    assert "max_abs_displacement" in s
