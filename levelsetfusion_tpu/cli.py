@@ -508,7 +508,15 @@ def _resume_fusion(state, warp, frames, camera, pipeline_cfg, on_frame, frame_of
         )
         res = _solve(state.canonical, live, pipeline_cfg.solver, initial_warp=warp)
         warp = res.warp
-        warped = warp_field(live, warp)
+        if pipeline_cfg.solver.use_pallas_resample:
+            from levelsetfusion_tpu.ops.pallas.resample import warp_field_fast
+
+            warped = warp_field_fast(
+                live, warp, pipeline_cfg.solver.pallas_max_displacement,
+                interpret=pipeline_cfg.solver.pallas_interpret,
+            )
+        else:
+            warped = warp_field(live, warp)
         state = blend(state, warped)
         t = frame_offset + j
         reports.append(

@@ -235,7 +235,19 @@ def fuse_sequence(
             iters = int(res.iterations)
             e = float(res.telemetry.data_energy[max(iters - 1, 0)])
 
-        warped = warp_field(live, warp)
+        # The blend resample is the Pallas kernel when the solver's fast
+        # path is on (the XLA general gather costs ~192 ms at 128³ — it
+        # would dominate the whole frame); same ±K clamp contract as the
+        # solve, which the displacement guard monitors.
+        if config.solver.use_pallas_resample:
+            from levelsetfusion_tpu.ops.pallas.resample import warp_field_fast
+
+            warped = warp_field_fast(
+                live, warp, config.solver.pallas_max_displacement,
+                interpret=config.solver.pallas_interpret,
+            )
+        else:
+            warped = warp_field(live, warp)
         state = blend(state, warped)
         band = int(jnp.sum(jnp.abs(state.canonical) < 1.0 - TRUNCATION_EPS))
         reports.append(
