@@ -322,7 +322,8 @@ def run_experiment(
             from levelsetfusion_tpu.parallel.sharded import warp_field_sharded
 
             warped = warp_field_sharded(
-                live, res.warp, mesh=mesh, live_halo=cfg.live_halo
+                live, res.warp, mesh=mesh, live_halo=cfg.live_halo,
+                params=cfg.solver,
             )
         extra = {}
         if cfg.solver_kind == "schur":

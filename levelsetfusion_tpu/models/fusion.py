@@ -159,7 +159,8 @@ def fuse_sequence_sharded(
         e = float(res.telemetry.data_energy[max(iters - 1, 0)])
 
         warped = warp_field_sharded(
-            live, warp, mesh=mesh, axis_name=axis_name, live_halo=live_halo
+            live, warp, mesh=mesh, axis_name=axis_name, live_halo=live_halo,
+            params=config.solver,
         )
         state = blend(state, warped)
         band = int(jnp.sum(jnp.abs(state.canonical) < 1.0 - TRUNCATION_EPS))

@@ -253,7 +253,7 @@ def _block_gradient(
 
 
 @partial(
-    jax.jit, static_argnames=("mesh", "axis_name", "live_halo")
+    jax.jit, static_argnames=("mesh", "axis_name", "live_halo", "params")
 )
 def warp_field_sharded(
     live: jnp.ndarray,
@@ -262,13 +262,17 @@ def warp_field_sharded(
     mesh: Mesh,
     axis_name: str = "x",
     live_halo: int = 8,
+    params: SolverParams | None = None,
 ) -> jnp.ndarray:
     """Resample ``live`` at ``x + warp(x)`` with both arrays voxel-block
     sharded along axis 0 — the fusion step's gather, done with one explicit
     halo exchange instead of a partitioner-chosen all-gather.
 
     Same contract as the sharded solver: per-voxel axis-0 displacements
-    beyond ``live_halo`` read the +1 truncation fill.
+    beyond ``live_halo`` read the +1 truncation fill. When ``params``
+    enables the Pallas resample (and the shape supports it), the gather
+    runs the per-shard kernel — at config-5 shard scale the XLA gather
+    costs seconds per frame.
     """
     nd = mesh.shape[axis_name]
     if live.shape[0] % nd:
@@ -278,11 +282,22 @@ def warp_field_sharded(
     n_local = live.shape[0] // nd
     lh = min(live_halo, n_local)
     d = live.ndim
+    use_pallas = params is not None and pallas_block_supported(
+        params, live, lh, ghost=0
+    )
 
     def run(live_blk, warp_blk):
         live_ext = halo_exchange(
             live_blk, lh, axis_name, nd, fill="truncation"
         )
+        if use_pallas:
+            prepared = prepare_block_resample(
+                live_ext, params, lh, n_local, ghost=0
+            )
+            return resample_block_ext_cm(
+                jnp.moveaxis(warp_blk, -1, 0), live_ext, prepared, params,
+                0, n_local, lh, axis_name,
+            )
         shape = live_blk.shape
         # Coordinates in the extended frame: local row i sits at ext row
         # i + lh; global out-of-bounds beyond the halo hits sample_at's fill.

@@ -90,3 +90,32 @@ def test_cli_multi_frame_sharded_mode(tmp_path):
     assert os.path.isdir(os.path.join(out, "checkpoints"))
     with open(os.path.join(out, "summary.json")) as f:
         assert json.load(f)["frames_per_s"] > 0
+
+
+def test_warp_field_sharded_pallas_parity_interpret():
+    """The fusion gather's per-shard Pallas path (interpret mode) matches
+    the jnp sharded gather and the single-device warp_field."""
+    from levelsetfusion_tpu.ops.interpolation import warp_field
+    from levelsetfusion_tpu.parallel.sharded import warp_field_sharded
+
+    rng = np.random.default_rng(4)
+    shape = (16, 16, 128)
+    live = jnp.asarray(np.tanh(rng.standard_normal(shape)).astype(np.float32))
+    warp = jnp.asarray(
+        (rng.uniform(-1.5, 1.5, shape + (3,))).astype(np.float32)
+    )
+    mesh = make_mesh(4)
+    ref = warp_field(live, warp)
+    p = SolverParams(use_pallas_resample=True, pallas_max_displacement=2,
+                     pallas_interpret=True)
+    got_jnp = warp_field_sharded(live, warp, mesh=mesh, live_halo=8)
+    got_pl = warp_field_sharded(
+        live, warp, mesh=mesh, live_halo=8, params=p
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_jnp), np.asarray(ref), atol=1e-6
+    )
+    # Kernel tent-weight vs golden corner-weight f32 rounding: ~6e-6.
+    np.testing.assert_allclose(
+        np.asarray(got_pl), np.asarray(ref), atol=2e-5
+    )
