@@ -21,15 +21,25 @@ applied along BOTH sharded axes:
   with a tuple of axis names) — global max-warp-update semantics identical
   to the single-device solver.
 
-The warp resample uses the per-shard Pallas kernel when supported
-(displacements must stay within ``live_halo - 2`` of a block face — same
-contract as the 1D solver): the block's x window rides the kernel's
-existing ``x_start`` machinery (shared ``prepare_block_resample``), and the
-y-sharded axis needs NO new windowing — the kernel resamples the FULL
-y-extended block under an identity y mapping (the warp is zero-padded over
-the ``live_halo - 2`` ghost columns) and the ghost columns are cropped
-after; the only cost is ~2·(live_halo−2)/n1 redundant compute. Golden jnp
-gather otherwise.
+Both per-shard Pallas fast paths engage when supported (same displacement
+contract as the 1D solver — stay within ``live_halo - 2`` of a block
+face):
+
+- **Warp resample**: the block's x window rides the kernel's existing
+  ``x_start`` machinery (shared ``prepare_block_resample``), and the
+  y-sharded axis needs NO new windowing — the kernel resamples the FULL
+  y-extended block under an identity y mapping (the warp is zero-padded
+  over the ghost columns) and the extra columns are cropped after; the
+  only cost is a few percent of redundant compute.
+- **Fused gradient+Sobolev+update**: the y-tiled kernel's ``y_lo/y_len``
+  output window consumes a block extended by hx rows in x and 8 columns
+  in y (sublane-aligned; the gradient only reaches 5 deep, so the outer 3
+  ghost columns may hold garbage), with per-shard ``x_offset/y_offset``
+  global coordinates driving the edge-convention masks. One x + one y
+  warp halo exchange per iteration feeds resample + one kernel call.
+
+Golden jnp paths otherwise; all variants parity-tested vs the
+single-device solver in tests/test_parallel2d.py.
 
 Reference anchor: BASELINE config 5; SURVEY.md §5 long-context row.
 """
@@ -58,6 +68,36 @@ from levelsetfusion_tpu.parallel.halo import (
     second_diff,
 )
 from levelsetfusion_tpu.parallel.sharded import prepare_block_resample
+
+
+def fused_block2d_supported(
+    params: SolverParams, canonical, n0: int, n1: int, live_halo: int
+) -> bool:
+    """Static gate for the per-shard fused gradient+update kernel on the 2D
+    mesh: the y-tiled kernel's ``y_lo``/``y_len`` window machinery consumes
+    a block extended by the stencil+filter halo in x (hx) and exactly 8
+    columns in y (the kernel's sublane-aligned y_lo rule; the gradient only
+    reaches 5 deep, so the outer 3 ghost columns may hold garbage)."""
+    if not (params.use_pallas_gradient and canonical.ndim == 3):
+        return False
+    if live_halo < 8:
+        return False
+    from levelsetfusion_tpu.ops.pallas.fused_gradient import fused_supported
+
+    hx = 5 if params.sobolev_smoothing else 2
+    # The per-shard resample must produce hx exact x ghost rows.
+    kk = params.pallas_max_displacement
+    if params.use_pallas_resample and live_halo < kk + hx + 1:
+        return False
+    return fused_supported(
+        (n0 + 2 * hx, n1 + 16, canonical.shape[2]),
+        interpret=params.pallas_interpret,
+        sobolev=params.sobolev_smoothing,
+        x_lo=hx,
+        x_len=n0,
+        y_lo=8,
+        y_len=n1,
+    )
 
 
 def pallas_block2d_supported(
@@ -353,7 +393,23 @@ def solve_single_level_sharded2d(
         )
         return total, energies
 
+    use_fused = fused_block2d_supported(params, canonical, n0, n1, live_halo)
+    hx = 5 if params.sobolev_smoothing else 2
+    ghost = hx if use_fused else 2
     use_pallas = pallas_block2d_supported(params, canonical, live_halo, n1)
+    if use_fused and params.use_pallas_resample:
+        # The fused path needs hx exact resampled x ghost rows (gated).
+        use_pallas = use_pallas and live_halo >= (
+            params.pallas_max_displacement + ghost + 1
+        )
+    taps = ()
+    if use_fused and params.sobolev_smoothing:
+        from levelsetfusion_tpu.ops.pallas.fused_gradient import sobolev_taps
+
+        taps = sobolev_taps(
+            params.sobolev_kernel_size, params.sobolev_strength
+        )
+    x_gl, y_gl = canonical.shape[0], canonical.shape[1]
 
     def run(canon_blk, live_blk, warp0_blk):
         live_ext = exch2(live_blk, live_halo, "truncation")
@@ -362,12 +418,89 @@ def solve_single_level_sharded2d(
             # x-axis prep is identical to the 1D solver's; the full
             # y-extended extent passes through untouched.
             prepared = prepare_block_resample(
-                live_ext, params, live_halo, n0, ghost=2
+                live_ext, params, live_halo, n0, ghost
+            )
+        canon_ext = None
+        x_off = y_off = None
+        if use_fused:
+            ce = halo_exchange(
+                canon_blk, hx, an0, nd0, fill="truncation", axis=0
+            )
+            canon_ext = halo_exchange(
+                ce, 8, an1, nd1, fill="truncation", axis=1
+            )
+            x_off = lax.axis_index(an0) * n0 - hx
+            y_off = lax.axis_index(an1) * n1 - 8
+
+        def _resample_fused(w_cm):
+            """Warped live on the (n0+2hx) × (n1+16) fused-kernel window
+            from a component-major ghost-extended warp."""
+            m0, m1 = n0 + 2 * hx, n1 + 16
+            if prepared is not None:
+                from levelsetfusion_tpu.ops.pallas.resample import (
+                    pick_y_block,
+                    warp_field_pallas_prepared,
+                )
+
+                kk = params.pallas_max_displacement
+                stacked, flags, xe = prepared
+                hd = live_halo - 8
+                wk = jnp.pad(
+                    w_cm, ((0, 0), (0, xe - m0), (hd, hd), (0, 0))
+                )
+                out = warp_field_pallas_prepared(
+                    stacked, wk, kk,
+                    y_block=pick_y_block(wk.shape[1:]),
+                    interpret=params.pallas_interpret,
+                    skip_flags=flags, x_start=kk, component_major=True,
+                )
+                return out[:m0, hd : hd + m1]
+            shape_ext = (m0, m1) + canon_blk.shape[2:]
+            i0 = lax.broadcasted_iota(jnp.int32, shape_ext, 0).astype(
+                w_cm.dtype
+            )
+            i1 = lax.broadcasted_iota(jnp.int32, shape_ext, 1).astype(
+                w_cm.dtype
+            )
+            coords = [
+                i0 + (live_halo - hx) + w_cm[0],
+                i1 + (live_halo - 8) + w_cm[1],
+            ]
+            for ax in range(2, d):
+                ident = lax.broadcasted_iota(
+                    jnp.int32, shape_ext, ax
+                ).astype(w_cm.dtype)
+                coords.append(ident + w_cm[ax])
+            return sample_at(live_ext, jnp.stack(coords, axis=-1))
+
+        def _fused_step2d(warp_cm, rate):
+            from levelsetfusion_tpu.ops.gradient import SmoothingMode as SM
+            from levelsetfusion_tpu.ops.pallas.fused_gradient import (
+                fused_gradient_update,
+            )
+
+            w = halo_exchange(
+                warp_cm, hx, an0, nd0, fill="replicate", axis=1
+            )
+            w = halo_exchange(w, 8, an1, nd1, fill="replicate", axis=2)
+            warped_ext = _resample_fused(w)
+            return fused_gradient_update(
+                warped_ext, canon_ext, w, rate,
+                w_data=params.data_term_weight,
+                w_smooth=params.smoothing_term_weight,
+                w_ls=params.level_set_term_weight,
+                killing=params.smoothing_mode is SM.KILLING,
+                gamma=params.rigidity_enforcement_factor,
+                band_union=params.band_union_only,
+                taps=taps,
+                interpret=params.pallas_interpret,
+                x_offset=x_off, x_global=x_gl, x_lo=hx, x_len=n0,
+                y_offset=y_off, y_global=y_gl, y_lo=8, y_len=n1,
             )
 
         zeros = jnp.zeros((n_iter,), canon_blk.dtype)
         init = (
-            warp0_blk,
+            jnp.moveaxis(warp0_blk, -1, 0) if use_fused else warp0_blk,
             jnp.zeros((), jnp.int32),
             jnp.full((), jnp.inf, canon_blk.dtype),
             jnp.asarray(params.learning_rate, canon_blk.dtype),
@@ -384,15 +517,32 @@ def solve_single_level_sharded2d(
             warp, it, _, rate, prev_e, tel, max_disp = state
             from levelsetfusion_tpu.models.single_level import _axis_max_abs
 
-            max_disp = jnp.maximum(max_disp, _axis_max_abs(warp, False))
-            grad, (e_data, e_smooth, e_ls) = block_gradient(
-                canon_blk, live_ext, warp, prepared
+            max_disp = jnp.maximum(
+                max_disp, _axis_max_abs(warp, use_fused)
             )
-            update = -rate * grad
-            new_warp = warp + update
-            ulen = jnp.sqrt(jnp.sum(update * update, axis=-1))
-            max_up = lax.pmax(jnp.max(ulen), names)
-            mean_up = lax.psum(jnp.sum(ulen), names) / num_voxels
+            if use_fused:
+                new_warp, stats = _fused_step2d(warp, rate)
+                e_data = lax.psum(lax.psum(stats.data_energy, an0), an1)
+                e_smooth = lax.psum(
+                    lax.psum(stats.smoothing_energy, an0), an1
+                )
+                e_ls = lax.psum(
+                    lax.psum(stats.level_set_energy, an0), an1
+                )
+                max_up = lax.pmax(lax.pmax(stats.max_update, an0), an1)
+                mean_up = (
+                    lax.psum(lax.psum(stats.sum_update, an0), an1)
+                    / num_voxels
+                )
+            else:
+                grad, (e_data, e_smooth, e_ls) = block_gradient(
+                    canon_blk, live_ext, warp, prepared
+                )
+                update = -rate * grad
+                new_warp = warp + update
+                ulen = jnp.sqrt(jnp.sum(update * update, axis=-1))
+                max_up = lax.pmax(jnp.max(ulen), names)
+                mean_up = lax.psum(jnp.sum(ulen), names) / num_voxels
 
             energy = e_data + e_smooth + e_ls
             if params.adaptive_learning_rate:
@@ -414,10 +564,12 @@ def solve_single_level_sharded2d(
 
         max_disp = lax.pmax(
             lax.pmax(
-                jnp.maximum(max_disp, _axis_max_abs(warp, False)), an0
+                jnp.maximum(max_disp, _axis_max_abs(warp, use_fused)), an0
             ),
             an1,
         )
+        if use_fused:
+            warp = jnp.moveaxis(warp, 0, -1)
         return warp, it, max_up < params.convergence_threshold, tel, max_disp
 
     spec = P(an0, an1)

@@ -160,3 +160,38 @@ def test_pallas2d_gate():
     assert not pallas_block2d_supported(p, ok, live_halo=4, n1=8)
     # non-lane trailing extent
     assert not pallas_block2d_supported(p, jnp.zeros((16, 16, 12)), 8, 8)
+
+
+def test_parity_fused_gradient_2x2_interpret():
+    """2D-mesh per-shard FUSED gradient+update kernel (y_lo/y_len window)
+    + Pallas resample, interpret mode, full energy."""
+    params = SolverParams(
+        max_iterations=8, learning_rate=0.3,
+        smoothing_mode=SmoothingMode.KILLING, level_set_term_weight=0.1,
+        sobolev_smoothing=True,
+        use_pallas_resample=True, use_pallas_gradient=True,
+        pallas_max_displacement=2, pallas_interpret=True,
+    )
+    _parity(params, mesh_shape=(2, 2), shape=(16, 16, 128))
+
+
+def test_parity_fused_gradient_jnp_resample_2x2_interpret():
+    """Fused kernel with the jnp gather feeding it (resample path off)."""
+    params = SolverParams(
+        max_iterations=6, learning_rate=0.3, sobolev_smoothing=True,
+        use_pallas_gradient=True, pallas_interpret=True,
+    )
+    _parity(params, mesh_shape=(2, 2), shape=(16, 16, 128))
+
+
+def test_fused2d_gate():
+    from levelsetfusion_tpu.parallel.sharded2d import fused_block2d_supported
+
+    p = SolverParams(use_pallas_gradient=True, sobolev_smoothing=True,
+                     pallas_interpret=True)
+    ok = jnp.zeros((16, 16, 128))
+    assert fused_block2d_supported(p, ok, n0=8, n1=8, live_halo=8)
+    assert not fused_block2d_supported(p, ok, n0=8, n1=8, live_halo=7)
+    assert not fused_block2d_supported(
+        p.replace(use_pallas_gradient=False), ok, 8, 8, 8
+    )
