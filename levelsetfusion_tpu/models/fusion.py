@@ -145,16 +145,39 @@ def fuse_sequence_sharded(
     for t, frame in enumerate(frame_iter, start=1):
         live = gen(jnp.asarray(frame))
         init_warp = warp if config.warm_start else jnp.zeros_like(warp)
-        res = solve_single_level_sharded(
-            state.canonical,
-            live,
-            config.solver,
-            mesh=mesh,
-            axis_name=axis_name,
-            live_halo=live_halo,
-            initial_warp=init_warp,
-        )
-        warp = res.warp
+        if config.hierarchical:
+            # Coarse-to-fine on the sharded volume: replicated coarse
+            # levels absorb large inter-frame motion, the fine level runs
+            # sharded with an adaptively sized live halo
+            # (parallel.hierarchical).
+            from levelsetfusion_tpu.parallel.hierarchical import (
+                solve_hierarchical_sharded,
+            )
+
+            hres = solve_hierarchical_sharded(
+                state.canonical,
+                live,
+                HierarchicalParams(
+                    levels=config.levels, base=config.solver
+                ),
+                mesh=mesh,
+                axis_name=axis_name,
+                min_live_halo=live_halo,
+                initial_warp=init_warp,
+            )
+            warp = jax.device_put(hres.warp, sharding)
+            res = hres.level_results[-1]
+        else:
+            res = solve_single_level_sharded(
+                state.canonical,
+                live,
+                config.solver,
+                mesh=mesh,
+                axis_name=axis_name,
+                live_halo=live_halo,
+                initial_warp=init_warp,
+            )
+            warp = res.warp
         iters = int(res.iterations)
         e = float(res.telemetry.data_energy[max(iters - 1, 0)])
 

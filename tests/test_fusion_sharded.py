@@ -119,3 +119,22 @@ def test_warp_field_sharded_pallas_parity_interpret():
     np.testing.assert_allclose(
         np.asarray(got_pl), np.asarray(ref), atol=2e-5
     )
+
+
+def test_sharded_hierarchical_fusion_matches_single_device():
+    """config.hierarchical=True in sharded fusion runs the sharded
+    coarse-to-fine solver (previously it silently ran flat)."""
+    seq, cfg = _setup()
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, hierarchical=True, levels=2)
+    mesh = make_mesh(4)
+    ref = fuse_sequence(seq.frames, seq.camera, cfg)
+    sh = fuse_sequence_sharded(seq.frames, seq.camera, cfg, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(sh.state.canonical), np.asarray(ref.state.canonical),
+        atol=5e-5, rtol=1e-4,
+    )
+    assert [r.solver_iterations for r in sh.reports] == [
+        r.solver_iterations for r in ref.reports
+    ]
