@@ -166,28 +166,31 @@ def _assemble_terms(
     # --- smoothing term ----------------------------------------------------
     e_smooth = jnp.zeros((), jnp.float32)
     if w_smooth != 0.0:
-        # Jacobian J[c][d] = d_d(u_c); the diagonal doubles as the divergence.
-        jac = [[dd[di](u[ci]) for di in range(3)] for ci in range(3)]
-        sq_jac = None
-        for ci in range(3):
-            for di in range(3):
-                t = jac[ci][di] * jac[ci][di]
-                sq_jac = t if sq_jac is None else sq_jac + t
+        # Jacobian J[c][d] = d_d(u_c), consumed PAIRWISE so at most two
+        # derivative arrays are live at a time (materializing all 9 at once
+        # spilled scoped VMEM and cost ~0.6 ms/call at 128³ — measured,
+        # experiments/fused_ablation.py). The symmetric-part energy uses
+        # ‖J+Jᵀ‖² = 2‖J‖² + 2·Σ_ij J_ij·J_ji instead of 9 explicit squares.
+        diag = [dd[k](u[k]) for k in range(3)]
+        sq_jac = diag[0] * diag[0] + diag[1] * diag[1] + diag[2] * diag[2]
+        cross = sq_jac  # Σ_ij J_ij·J_ji starts with the diagonal squares
+        for ci, di in ((0, 1), (0, 2), (1, 2)):
+            a = dd[di](u[ci])
+            b = dd[ci](u[di])
+            sq_jac = sq_jac + a * a + b * b
+            if killing:
+                cross = cross + 2.0 * (a * b)
         if killing:
-            div = jac[0][0] + jac[1][1] + jac[2][2]
+            div = diag[0] + diag[1] + diag[2]
             gdiv = [d0(div), d1(div), d2(div)]
             for k in range(3):
                 total[k] = total[k] + w_smooth * (
                     -(1.0 + gamma) * lap3(u[k]) - gdiv[k]
                 )
-            sq_sym = None
-            for ci in range(3):
-                for di in range(3):
-                    s_cd = jac[ci][di] + jac[di][ci]
-                    t = s_cd * s_cd
-                    sq_sym = t if sq_sym is None else sq_sym + t
-            e_smooth = w_smooth * 0.5 * (
-                0.5 * isum(sq_sym) + gamma * isum(sq_jac)
+            # ½·isum(sq_sym) = isum(sq_jac) + isum(cross), folded into one
+            # masked reduction.
+            e_smooth = w_smooth * 0.5 * isum(
+                (1.0 + gamma) * sq_jac + cross
             )
         else:
             for k in range(3):
