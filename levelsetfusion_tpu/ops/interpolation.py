@@ -96,3 +96,51 @@ def warp_field_with_gradient(
 
     warped = warp_field(field, warp, fill_value=fill_value)
     return warped, gradient(warped)
+
+
+def advect_field(
+    field: jnp.ndarray,
+    warp: jnp.ndarray,
+    fill_value: float = TRUNCATION_FILL,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Forward-warp ("field advected", SURVEY.md §2.8 [MED]): push each
+    voxel's value to ``x + u(x)``, splatting with multi-linear weights and
+    normalizing by the accumulated weight; target voxels no source reaches
+    get ``fill_value``.
+
+    The backward flavor (``warp_field``) asks "what was at the place this
+    voxel came from"; this one asks "where does this voxel's value go" —
+    the reference uses it when updating a field under a warp defined on the
+    SOURCE grid. Scatter-add lowers to TPU segment-sums under jit.
+    """
+    d = field.ndim
+    assert warp.shape == field.shape + (d,), (field.shape, warp.shape)
+    pos = identity_positions(field.shape, warp.dtype) + warp
+    base = jnp.floor(pos)
+    frac = pos - base
+    base_i = base.astype(jnp.int32)
+
+    values = jnp.zeros(field.shape, field.dtype)
+    weights = jnp.zeros(field.shape, field.dtype)
+    flat_field = field.reshape(-1)
+
+    for corner in range(2**d):
+        offs = [(corner >> k) & 1 for k in range(d)]
+        idx = [base_i[..., k] + offs[k] for k in range(d)]
+        w = jnp.ones(field.shape, field.dtype)
+        for k in range(d):
+            w = w * jnp.where(offs[k] == 1, frac[..., k], 1.0 - frac[..., k])
+        inb = jnp.ones(field.shape, bool)
+        for k in range(d):
+            inb = inb & (idx[k] >= 0) & (idx[k] < field.shape[k])
+        w = jnp.where(inb, w, 0.0)
+        idx_c = tuple(
+            jnp.clip(idx[k], 0, field.shape[k] - 1) for k in range(d)
+        )
+        values = values.at[idx_c].add(w * field)
+        weights = weights.at[idx_c].add(w)
+
+    return jnp.where(
+        weights > eps, values / jnp.maximum(weights, eps), fill_value
+    )

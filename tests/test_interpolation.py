@@ -53,3 +53,52 @@ def test_warp_field_with_gradient_consistency(rng):
     gx, gy = np.gradient(np.asarray(warped))
     np.testing.assert_allclose(np.asarray(grad[..., 0]), gx, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(grad[..., 1]), gy, rtol=1e-5, atol=1e-6)
+
+
+class TestAdvectField:
+    """Forward-warp flavor (§2.8): push values to x + u."""
+
+    def test_zero_warp_is_identity(self):
+        from levelsetfusion_tpu.ops.interpolation import advect_field
+
+        rng = np.random.default_rng(0)
+        f = jnp.asarray(rng.uniform(-1, 1, (6, 5)).astype(np.float32))
+        out = advect_field(f, jnp.zeros((6, 5, 2), jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(f), atol=1e-6)
+
+    def test_integer_shift_moves_values(self):
+        from levelsetfusion_tpu.ops.interpolation import (
+            TRUNCATION_FILL,
+            advect_field,
+        )
+
+        f = jnp.zeros((5, 5), jnp.float32).at[1, 1].set(-0.5)
+        w = jnp.ones((5, 5, 2), jnp.float32) * 2.0  # shift (+2, +2)
+        out = np.asarray(advect_field(f, w))
+        assert out[3, 3] == -0.5
+        # The vacated source voxel's own content moved too; row 0 receives
+        # nothing (no source maps there) -> fill.
+        np.testing.assert_allclose(out[0, :], TRUNCATION_FILL)
+
+    def test_forward_inverts_backward_for_constant_shift_3d(self):
+        from levelsetfusion_tpu.ops.interpolation import (
+            advect_field,
+            warp_field,
+        )
+
+        # Linear fields are reproduced exactly by tent splat + bilinear
+        # sample (partition of unity + linear precision); random fields
+        # would only be recovered approximately (two tent filters smooth).
+        x, y, z = np.meshgrid(*[np.arange(8.0)] * 3, indexing="ij")
+        f = jnp.asarray(
+            (0.05 * x + 0.03 * y - 0.02 * z).astype(np.float32)
+        )
+        shift = jnp.ones((8, 8, 8, 3), jnp.float32) * 1.5
+        fwd = advect_field(f, shift)
+        # fwd(y) ~ f(y - u), so sampling fwd at x + u recovers f(x).
+        back = warp_field(fwd, shift)
+        np.testing.assert_allclose(
+            np.asarray(back)[2:-2, 2:-2, 2:-2],
+            np.asarray(f)[2:-2, 2:-2, 2:-2],
+            atol=1e-5,
+        )
