@@ -1,16 +1,18 @@
 """Headline benchmark: BASELINE config 3 — 3D dense 128³ single-pair
 non-rigid alignment with the full data+Killing+level-set energy and Sobolev
-preconditioning.
+preconditioning — plus the other two BASELINE throughput metrics
+(config-4 fusion frames/s, config-5 per-shard rate) in ``details``.
 
 Prints ONE JSON line:
   {"metric": "voxel_warp_updates_per_s_per_chip", "value": N, "unit": "voxel·iter/s",
    "vs_baseline": R, ...}
 
 ``vs_baseline`` is measured against the reference-architecture stand-in: the
-same solve run on one host CPU core-set (the reference is single-process CPU
+SAME 128³ solve run on the host CPU (the reference is single-process CPU
 numpy; its repo publishes no numbers and the mount is empty — see
 BASELINE.md — so the CPU run of our own math is the closest measurable
-proxy, and is itself vectorized, i.e. a *conservative* baseline).
+proxy, and is itself vectorized + multi-core XLA, i.e. a *conservative*
+baseline). Same shape, fewer iterations (per-iteration cost is constant).
 """
 
 import json
@@ -25,8 +27,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # KERNEL_NOTES.md) is <10% of the measured solve (~1 ms/iteration now).
 N_ITER = 300
 SHAPE = (128, 128, 128)
-CPU_SHAPE = (64, 64, 64)
-CPU_ITER = 5
+CPU_ITER = 3  # same 128³ shape as the TPU run; cost is linear in iterations
+
+SHARD_SHAPE = (64, 512, 512)  # per-device block of 512³ over 8 (config 5)
+SHARD_ITER = 30
+
+FUSE_FRAMES = 4
+FUSE_SOLVE_ITER = 40
 
 
 def _build_fields(shape):
@@ -40,13 +47,13 @@ def _build_fields(shape):
     return jnp.asarray(canonical), jnp.asarray(live)
 
 
-def _params():
+def _params(**kw):
     from levelsetfusion_tpu.models.params import SmoothingMode, SolverParams
 
     import jax
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    return SolverParams(
+    base = dict(
         max_iterations=N_ITER,
         learning_rate=0.3,
         smoothing_term_weight=0.1,
@@ -56,9 +63,12 @@ def _params():
         convergence_threshold=0.0,  # run exactly max_iterations
         use_pallas_resample=on_tpu,
         pallas_max_displacement=2,
-        # Fused stencil+Sobolev+update kernel: 1.62 -> 1.02 ms/iter at 128³.
+        # Fused stencil+Sobolev+update kernel (whole-volume at 128³,
+        # y-tiled double-buffered windows at config-5 shard shapes).
         use_pallas_gradient=on_tpu,
     )
+    base.update(kw)
+    return SolverParams(**base)
 
 
 def _sync(x):
@@ -72,7 +82,7 @@ def _sync(x):
 def measure(shape, n_iter, repeats=3):
     from levelsetfusion_tpu.models.single_level import solve_single_level
 
-    params = _params().replace(max_iterations=n_iter)
+    params = _params(max_iterations=n_iter)
     canonical, live = _build_fields(shape)
     # Warmup/compile.
     res = solve_single_level(canonical, live, params)
@@ -89,13 +99,61 @@ def measure(shape, n_iter, repeats=3):
     return voxels * n_iter / best, best
 
 
+def measure_fusion_fps():
+    """Config-4 frames/s (BASELINE north-star throughput): synthetic
+    Snoopy-style sequence fused frame-to-canonical at 128³; steady-state
+    rate measured from the second fused frame (first carries compile)."""
+    from levelsetfusion_tpu.core.grid import GridSpec
+    from levelsetfusion_tpu.io import synthetic
+    from levelsetfusion_tpu.models.fusion import (
+        FusionPipelineConfig,
+        fuse_sequence,
+    )
+
+    seq = synthetic.snoopy_style_sequence_3d(
+        FUSE_FRAMES, width=96, height=96, blob_radius_px=18.0,
+        blob_height=0.06, drift_px_per_frame=(1.5, 0.0),
+        pulse_amplitude=0.1,
+    )
+    grid = GridSpec(
+        shape=SHAPE, voxel_size=0.004, offset=(-64, -64, 75)
+    )
+    cfg = FusionPipelineConfig(
+        grid=grid,
+        narrow_band_width_voxels=20,
+        # Flat per-frame solves, matching the config4 CLI preset (the
+        # hierarchical default would run coarse levels on the XLA path —
+        # z != 128 — at full iteration count, 6× the frame time).
+        hierarchical=False,
+        solver=_params(max_iterations=FUSE_SOLVE_ITER),
+    )
+    times = []
+
+    def cb(t, state, warp):
+        _sync(state.canonical)
+        times.append(time.perf_counter())
+
+    fuse_sequence(seq.frames, seq.camera, cfg, frame_callback=cb)
+    if len(times) < 3:
+        return None
+    return (len(times) - 1) / (times[-1] - times[0])
+
+
+def measure_config5_shard():
+    """Config-5 per-shard rate: the per-device (64, 512, 512) block of a
+    512³/8 volume, full energy, y-tiled fused kernel + multi-slab resample
+    (experiments/config5_512_acceptance.py --tpu-shard is the provenance)."""
+    rate, secs = measure(SHARD_SHAPE, SHARD_ITER, repeats=3)
+    return rate, secs
+
+
 def _cpu_baseline_rate():
     """Measure the CPU stand-in rate in a subprocess (platform is locked per
-    process in this container)."""
+    process in this container) — SAME 128³ shape, fewer iterations."""
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
         "import sys; sys.path.insert(0, %r);"
-        "import bench; r,_ = bench.measure(bench.CPU_SHAPE, bench.CPU_ITER, repeats=1);"
+        "import bench; r,_ = bench.measure(bench.SHAPE, bench.CPU_ITER, repeats=1);"
         "print('CPU_RATE', r)" % REPO
     )
     try:
@@ -118,6 +176,16 @@ def main():
     rate, secs = measure(SHAPE, N_ITER)
     cpu_rate = _cpu_baseline_rate()
     vs = rate / cpu_rate if cpu_rate else None
+    shard_rate = shard_secs = fps = None
+    if "--quick" not in sys.argv:
+        try:
+            shard_rate, shard_secs = measure_config5_shard()
+        except Exception as e:
+            shard_rate = f"failed: {e}"
+        try:
+            fps = measure_fusion_fps()
+        except Exception as e:
+            fps = f"failed: {e}"
     print(
         json.dumps(
             {
@@ -130,7 +198,11 @@ def main():
                     "iterations": N_ITER,
                     "best_solve_seconds": secs,
                     "platform": platform,
-                    "cpu_baseline_rate": cpu_rate,
+                    "cpu_baseline_rate_same_shape": cpu_rate,
+                    "config4_frames_per_s": fps,
+                    "config5_per_shard_voxel_iter_per_s": shard_rate,
+                    "config5_per_shard_shape": list(SHARD_SHAPE),
+                    "config5_per_shard_seconds": shard_secs,
                 },
             }
         )

@@ -178,21 +178,34 @@ def fuse_sequence_sharded(
                 initial_warp=init_warp,
             )
             warp = res.warp
-        iters = int(res.iterations)
-        e = float(res.telemetry.data_energy[max(iters - 1, 0)])
-
         warped = warp_field_sharded(
             live, warp, mesh=mesh, axis_name=axis_name, live_halo=live_halo,
             params=config.solver,
         )
         state = blend(state, warped)
-        band = int(jnp.sum(jnp.abs(state.canonical) < 1.0 - TRUNCATION_EPS))
+        # One host fetch per frame (see fuse_sequence).
+        stats = np.asarray(
+            jnp.stack(
+                [
+                    res.iterations.astype(jnp.float32),
+                    jnp.take(
+                        res.telemetry.data_energy,
+                        jnp.maximum(res.iterations - 1, 0),
+                    ),
+                    jnp.sum(
+                        (
+                            jnp.abs(state.canonical) < 1.0 - TRUNCATION_EPS
+                        ).astype(jnp.float32)
+                    ),
+                ]
+            )
+        )
         reports.append(
             FrameReport(
                 frame_index=t,
-                solver_iterations=iters,
-                final_data_energy=e,
-                band_voxels=band,
+                solver_iterations=int(stats[0]),
+                final_data_energy=float(stats[1]),
+                band_voxels=int(stats[2]),
             )
         )
         if frame_callback is not None:
@@ -246,18 +259,12 @@ def fuse_sequence(
                 initial_warp=init_warp,
             )
             warp = hres.warp
-            finest = hres.level_results[-1]
-            iters = int(finest.iterations)
-            e = float(
-                finest.telemetry.data_energy[max(iters - 1, 0)]
-            )
+            res = hres.level_results[-1]
         else:
             res = solve_single_level(
                 state.canonical, live, config.solver, initial_warp=init_warp
             )
             warp = res.warp
-            iters = int(res.iterations)
-            e = float(res.telemetry.data_energy[max(iters - 1, 0)])
 
         # The blend resample is the Pallas kernel when the solver's fast
         # path is on (the XLA general gather costs ~192 ms at 128³ — it
@@ -273,13 +280,31 @@ def fuse_sequence(
         else:
             warped = warp_field(live, warp)
         state = blend(state, warped)
-        band = int(jnp.sum(jnp.abs(state.canonical) < 1.0 - TRUNCATION_EPS))
+        # One host fetch per frame: every dispatch costs the remote-TPU
+        # round trip (~24 ms here), so the per-frame report scalars are
+        # stacked on device and fetched together.
+        stats = np.asarray(
+            jnp.stack(
+                [
+                    res.iterations.astype(jnp.float32),
+                    jnp.take(
+                        res.telemetry.data_energy,
+                        jnp.maximum(res.iterations - 1, 0),
+                    ),
+                    jnp.sum(
+                        (
+                            jnp.abs(state.canonical) < 1.0 - TRUNCATION_EPS
+                        ).astype(jnp.float32)
+                    ),
+                ]
+            )
+        )
         reports.append(
             FrameReport(
                 frame_index=t,
-                solver_iterations=iters,
-                final_data_energy=e,
-                band_voxels=band,
+                solver_iterations=int(stats[0]),
+                final_data_energy=float(stats[1]),
+                band_voxels=int(stats[2]),
             )
         )
         if frame_callback is not None:
