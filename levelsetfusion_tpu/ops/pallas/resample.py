@@ -287,6 +287,13 @@ def _chunking(x_size: int, m: int = 1, n: int | None = None,
               yb: int | None = None) -> int:
     # Multi-slab windows are ws=3 lanes wide — halve the x chunk to fit VMEM.
     cands = (128, 64, 32, 16, 8, 4, 2, 1) if m == 1 else (64, 32, 16, 8, 4, 2, 1)
+    if n is not None and n > 8:
+        # Large displacement windows (K > 3): big x chunks are strictly
+        # worse — measured at 128³/K=6, xb=32 vs xb=8 is 520 s vs 67 s of
+        # Mosaic compile AND 2.97 vs 2.69 ms/iter of solve time (the wide
+        # (xb+n−1)-row stacked windows blow up both the compiler and the
+        # VMEM working set).
+        cands = tuple(c for c in cands if c <= 8)
     if n is not None and yb is not None:
         ws = 1 if m == 1 else min(m, 3)
         fitting = tuple(
