@@ -172,7 +172,8 @@ PRESETS: Dict[str, ExperimentConfig] = {
         grid_shape=(128, 64, 128),
         voxel_size=0.008,
         grid_offset=(-64, -32, 38),
-        solver=_solver_3d(max_iterations=60, use_pallas_resample=True),
+        solver=_solver_3d(max_iterations=60, use_pallas_resample=True,
+                          use_pallas_gradient=True),
         live_halo=8,
     ),
     # 5-Schur. Same problem as config5_sharded solved with the BASELINE
@@ -202,7 +203,8 @@ PRESETS: Dict[str, ExperimentConfig] = {
         grid_shape=(512, 512, 512),
         voxel_size=0.004,
         grid_offset=(-256, -256, 38),
-        solver=_solver_3d(max_iterations=30, use_pallas_resample=True),
+        solver=_solver_3d(max_iterations=30, use_pallas_resample=True,
+                          use_pallas_gradient=True),
         live_halo=8,
     ),
     # 5-hier. Coarse-to-fine on the sharded volume (parallel.hierarchical):
