@@ -23,6 +23,14 @@ from levelsetfusion_tpu.ops import pyramid
 class HierarchicalResult(NamedTuple):
     warp: jnp.ndarray  # finest-level warp
     level_results: List[SolveResult]  # [coarsest, ..., finest]
+    # Sharded solves only (parallel.hierarchical): per-level live halo
+    # actually used — an int for levels that ran voxel-block sharded, None
+    # for levels that ran replicated (exact single-device semantics, no
+    # halo contract). The displacement-contract guard checks each level
+    # against ITS halo, not the config's flat ``live_halo`` (the driver
+    # sizes fine-level halos adaptively from the measured coarse motion).
+    # None (default) on single-device solves, where no contract applies.
+    level_halos: tuple | None = None
 
 
 def build_pyramid_from_depth(

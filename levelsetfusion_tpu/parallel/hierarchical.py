@@ -96,6 +96,7 @@ def solve_hierarchical_sharded(
             )
 
     results: List[SolveResult] = []
+    level_halos: List[int | None] = []
     for level in range(params.levels):
         canon_l, live_l = canon_pyr[level], live_pyr[level]
         n_local = canon_l.shape[0] // nd if canon_l.shape[0] % nd == 0 else 0
@@ -111,6 +112,7 @@ def solve_hierarchical_sharded(
             _level_can_shard(canon_l.shape, nd, min_rows)
             and live_halo <= n_local
         )
+        level_halos.append(live_halo if use_shard else None)
         if use_shard:
             res = solve_single_level_sharded(
                 jax.device_put(canon_l, shard),
@@ -142,4 +144,6 @@ def solve_hierarchical_sharded(
         else:
             warp = res.warp
 
-    return HierarchicalResult(warp=warp, level_results=results)
+    return HierarchicalResult(
+        warp=warp, level_results=results, level_halos=tuple(level_halos)
+    )

@@ -132,6 +132,11 @@ class SchurResult(NamedTuple):
     inner_per_outer: int
     converged: jnp.ndarray
     telemetry: SchurTelemetry
+    # Per-axis running max |u| over every warp any inner iteration resampled
+    # with (pmax'd across shards) — the displacement-contract observable;
+    # same semantics as SolveResult.max_abs_displacement so
+    # utils.debug.check_displacement_contract covers this solver too.
+    max_abs_displacement: jnp.ndarray | None = None
 
     @property
     def iterations(self):
@@ -251,10 +256,11 @@ def solve_single_level_schur(
             jnp.asarray(params.learning_rate, canon_blk.dtype),
             jnp.full((), jnp.inf, canon_blk.dtype),  # prev outer energy
             SchurTelemetry(zeros, zeros, zeros, zeros, zeros),
+            jnp.zeros((d,), canon_blk.dtype),  # running per-axis max |u|
         )
 
         def cond(state):
-            _, s, max_up, _, _, _ = state
+            _, s, max_up, _, _, _, _ = state
             return (s < n_outer) & (max_up >= params.convergence_threshold)
 
         # Component axis position: the fused path carries the warp
@@ -264,8 +270,10 @@ def solve_single_level_schur(
         def _row(a, sl):
             return a[:, sl] if use_fused else a[sl]
 
+        from levelsetfusion_tpu.models.single_level import _axis_max_abs
+
         def outer_body(state):
-            warp, s, _, rate, prev_e, tel = state
+            warp, s, _, rate, prev_e, tel, max_disp = state
 
             # (1) one warp halo exchange; ghosts stay frozen through the
             # inner sweep.
@@ -282,7 +290,8 @@ def solve_single_level_schur(
                 )
 
                 def inner(_, carry):
-                    w, _, _ = carry
+                    w, _, _, md = carry
+                    md = jnp.maximum(md, _axis_max_abs(w, use_fused))
                     w_ext_cm = jnp.concatenate(
                         [ghosts[0], w, ghosts[1]], axis=1
                     )
@@ -316,11 +325,12 @@ def solve_single_level_schur(
                         stats.smoothing_energy,
                         stats.level_set_energy,
                     )
-                    return (new_w, new_w - w, energies)
+                    return (new_w, new_w - w, energies, md)
             else:
 
                 def inner(_, carry):
-                    w, _, _ = carry
+                    w, _, _, md = carry
+                    md = jnp.maximum(md, _axis_max_abs(w, use_fused))
                     # Neighbor ghosts stay frozen (that is the scheme), but
                     # GLOBAL-boundary ghosts are locally computable: refresh
                     # the replicate fill from the current edge row so the
@@ -342,12 +352,12 @@ def solve_single_level_schur(
                         local_only=True,
                     )
                     direction = -rate * grad
-                    return (w + direction, direction, energies)
+                    return (w + direction, direction, energies, md)
 
             dir0 = jnp.zeros_like(warp)
             e0 = (jnp.zeros((), canon_blk.dtype),) * 3
-            warp, direction, (e_d, e_s, e_l) = lax.fori_loop(
-                0, t_inner, inner, (warp, dir0, e0)
+            warp, direction, (e_d, e_s, e_l), max_disp = lax.fori_loop(
+                0, t_inner, inner, (warp, dir0, e0, max_disp)
             )
 
             # (3) interface reduction: exchange edge directions (one
@@ -407,12 +417,17 @@ def solve_single_level_schur(
                 max_warp_update=tel.max_warp_update.at[s].set(max_up),
                 mean_warp_update=tel.mean_warp_update.at[s].set(mean_up),
             )
-            return (warp, s + 1, max_up, rate, energy, tel)
+            return (warp, s + 1, max_up, rate, energy, tel, max_disp)
 
-        warp, s, max_up, _, _, tel = lax.while_loop(cond, outer_body, init)
+        warp, s, max_up, _, _, tel, max_disp = lax.while_loop(
+            cond, outer_body, init
+        )
+        max_disp = lax.pmax(
+            jnp.maximum(max_disp, _axis_max_abs(warp, use_fused)), axis_name
+        )
         if use_fused:
             warp = jnp.moveaxis(warp, 0, -1)
-        return warp, s, max_up < params.convergence_threshold, tel
+        return warp, s, max_up < params.convergence_threshold, tel, max_disp
 
     spec = P(axis_name)
     rep = P()
@@ -425,14 +440,18 @@ def solve_single_level_schur(
             rep,
             rep,
             SchurTelemetry(rep, rep, rep, rep, rep),
+            rep,
         ),
         check_vma=False,
     )
-    warp, outer_steps, converged, telemetry = fn(canonical, live, initial_warp)
+    warp, outer_steps, converged, telemetry, max_disp = fn(
+        canonical, live, initial_warp
+    )
     return SchurResult(
         warp=warp,
         outer_steps=outer_steps,
         inner_per_outer=t_inner,
         converged=converged,
         telemetry=telemetry,
+        max_abs_displacement=max_disp,
     )

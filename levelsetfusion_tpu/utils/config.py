@@ -148,6 +148,13 @@ PRESETS: Dict[str, ExperimentConfig] = {
     ),
     # 4. 3D multi-frame frame-to-canonical fusion, Killing regularization.
     # 128³ grid with z = lane width so the Pallas resample engages per frame.
+    # K (pallas_max_displacement) is sized from the MEASURED warm-started
+    # warp growth over this exact sequence (TPU run, round 4): per-axis
+    # max |u| reaches (2.46, 1.26, 5.32) voxels by frame 8 — the *z* pulse,
+    # not the x drift, grows fastest. K=6 covers it; the fusion driver's
+    # auto_raise_displacement redoes any frame that still exceeds the clamp
+    # (one recompile per raise), so the fused canonical never absorbs
+    # clamped reads.
     "config4_3d_fusion": ExperimentConfig(
         name="config4_3d_fusion",
         mode="multi_frame_3d",
@@ -161,6 +168,7 @@ PRESETS: Dict[str, ExperimentConfig] = {
             max_iterations=80,
             use_pallas_resample=True,
             use_pallas_gradient=True,
+            pallas_max_displacement=6,
         ),
         dataset_kwargs={"width": 96, "height": 96},
     ),
@@ -179,7 +187,9 @@ PRESETS: Dict[str, ExperimentConfig] = {
     # 5-Schur. Same problem as config5_sharded solved with the BASELINE
     # north_star's mandated distributed structure: block-local inner
     # iterations + Schur-complement-style interface reduction (~8× fewer
-    # collective rounds than the sync solver; see parallel/schur.py).
+    # collective rounds than the sync solver; see parallel/schur.py). Runs
+    # the fused gradient kernel per shard (fused_schur_supported: the
+    # block-local Sobolev keeps the halo at the 2-ghost-row contract).
     "config5_sharded_schur": ExperimentConfig(
         name="config5_sharded_schur",
         mode="sharded_3d",
@@ -187,10 +197,27 @@ PRESETS: Dict[str, ExperimentConfig] = {
         voxel_size=0.008,
         grid_offset=(-64, -32, 38),
         solver=_solver_3d(max_iterations=60, use_pallas_resample=True,
+                          use_pallas_gradient=True,
                           adaptive_learning_rate=False),
         live_halo=8,
         solver_kind="schur",
         schur_inner_iterations=8,
+    ),
+    # 5-2D. The same problem on a 2D voxel-block mesh (parallel/sharded2d):
+    # axes 0 AND 1 shard, halos exchange along both mesh axes with correct
+    # corner fill. This is the composition the ≥80%-scaling target needs —
+    # block counts beyond shape[0]/min_halo require cutting a second axis.
+    # (2, 4) over 8 devices → per-shard blocks of 64×16×128.
+    "config5_2dmesh": ExperimentConfig(
+        name="config5_2dmesh",
+        mode="sharded_3d",
+        grid_shape=(128, 64, 128),
+        voxel_size=0.008,
+        grid_offset=(-64, -32, 38),
+        solver=_solver_3d(max_iterations=60, use_pallas_resample=True,
+                          use_pallas_gradient=True),
+        live_halo=8,
+        mesh_shape=(2, 4),
     ),
     # 5b. BASELINE's mandated scale for config 5: a 512³ volume sharded over
     # the device mesh (64×512×512 per shard on 8 devices). On the virtual
@@ -212,6 +239,13 @@ PRESETS: Dict[str, ExperimentConfig] = {
     # live_halo − 2 contract — coarse levels run replicated and absorb the
     # motion, fine levels run sharded with the halo sized from the measured
     # coarse displacement.
+    # Pallas paths ON at the fine level (z = lane width; per-shard block
+    # (16, 64, 128) over 8 devices): the warm-started fine-level warp
+    # carries the FULL ~5-voxel motion, so the resample clamp must cover it
+    # — K=8 with live_halo ≥ K+3 = 11 engages the per-shard kernel without
+    # clamped reads (coarse levels have z ≠ 128 and gate off to the jnp
+    # path; they are tiny and replicated). The summary's fast_paths +
+    # contract entries make both observable.
     "config5_hierarchical": ExperimentConfig(
         name="config5_hierarchical",
         mode="hierarchical_sharded_3d",
@@ -220,8 +254,10 @@ PRESETS: Dict[str, ExperimentConfig] = {
         grid_offset=(-64, -32, 38),
         levels=3,
         dataset_kwargs={"live_shift_px": 10.0},
-        solver=_solver_3d(max_iterations=60),
-        live_halo=8,
+        solver=_solver_3d(max_iterations=60, use_pallas_resample=True,
+                          use_pallas_gradient=True,
+                          pallas_max_displacement=8),
+        live_halo=11,
     ),
     # Rigid SDF-2-SDF (reference component §2.11).
     "rigid_2d": ExperimentConfig(
