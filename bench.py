@@ -32,8 +32,12 @@ CPU_ITER = 3  # same 128³ shape as the TPU run; cost is linear in iterations
 SHARD_SHAPE = (64, 512, 512)  # per-device block of 512³ over 8 (config 5)
 SHARD_ITER = 30
 
-FUSE_FRAMES = 4
+FUSE_FRAMES = 8  # steady-state fps from 7 intervals (r3 used 4 → noisy)
 FUSE_SOLVE_ITER = 40
+# Fusion resample clamp: matches the config4 preset's measured-motion K=6
+# (experiments/config4_accuracy.py: bit-identical to K=10, i.e. unclamped;
+# the r3 bench ran K=2, which frames 5+ measurably exceeded).
+FUSE_K = 6
 
 
 def _build_fields(shape):
@@ -125,7 +129,9 @@ def measure_fusion_fps():
         # hierarchical default would run coarse levels on the XLA path —
         # z != 128 — at full iteration count, 6× the frame time).
         hierarchical=False,
-        solver=_params(max_iterations=FUSE_SOLVE_ITER),
+        solver=_params(
+            max_iterations=FUSE_SOLVE_ITER, pallas_max_displacement=FUSE_K
+        ),
     )
     times = []
 
@@ -145,6 +151,34 @@ def measure_config5_shard():
     (experiments/config5_512_acceptance.py --tpu-shard is the provenance)."""
     rate, secs = measure(SHARD_SHAPE, SHARD_ITER, repeats=3)
     return rate, secs
+
+
+def measure_config5_sharded1():
+    """The same per-shard block run through solve_single_level_sharded on a
+    ONE-device mesh: the full shard_map program (halo self-ppermutes,
+    psum/pmax termination, per-shard kernel prep) with zero neighbor
+    traffic — prices the structural overhead an 8-chip run pays on top of
+    compute (experiments/halo_overhead.py is the standalone provenance)."""
+    from levelsetfusion_tpu.parallel import make_mesh, solve_single_level_sharded
+
+    params = _params(max_iterations=SHARD_ITER)
+    canonical, live = _build_fields(SHARD_SHAPE)
+    mesh1 = make_mesh(1)
+
+    def run():
+        res = solve_single_level_sharded(
+            canonical, live, params, mesh=mesh1, live_halo=8
+        )
+        return _sync(res.warp)
+
+    run()  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    voxels = SHARD_SHAPE[0] * SHARD_SHAPE[1] * SHARD_SHAPE[2]
+    return voxels * SHARD_ITER / best, best
 
 
 def _cpu_baseline_rate():
@@ -176,12 +210,16 @@ def main():
     rate, secs = measure(SHAPE, N_ITER)
     cpu_rate = _cpu_baseline_rate()
     vs = rate / cpu_rate if cpu_rate else None
-    shard_rate = shard_secs = fps = None
+    shard_rate = shard_secs = fps = shard1_rate = None
     if "--quick" not in sys.argv:
         try:
             shard_rate, shard_secs = measure_config5_shard()
         except Exception as e:
             shard_rate = f"failed: {e}"
+        try:
+            shard1_rate, _ = measure_config5_sharded1()
+        except Exception as e:
+            shard1_rate = f"failed: {e}"
         try:
             fps = measure_fusion_fps()
         except Exception as e:
@@ -203,6 +241,7 @@ def main():
                     "config5_per_shard_voxel_iter_per_s": shard_rate,
                     "config5_per_shard_shape": list(SHARD_SHAPE),
                     "config5_per_shard_seconds": shard_secs,
+                    "config5_sharded_1dev_mesh_voxel_iter_per_s": shard1_rate,
                 },
             }
         )

@@ -1,0 +1,96 @@
+"""Config-4 fusion accuracy under the Pallas ±K clamp (VERDICT r3 weak #1).
+
+Runs the bench.py config-4 pipeline (synthetic Snoopy-style sequence,
+frame-to-canonical fusion at 128³) three ways and compares the final fused
+canonical fields:
+
+  A. production: Pallas resample with the preset clamp K (=6, sized from
+     the measured motion of this exact sequence);
+  B. golden:     XLA-gather resample (use_pallas_resample=False) — no clamp
+     at all, the exactness reference;
+  C. headroom:   Pallas resample with K+4 — separates any residual A−B gap
+     into "clamp effect" (A−C) vs "kernel-vs-XLA f32 ulp noise" (C−B).
+
+Prints one JSON line with max/mean |Δ| over the band for A−B, A−C, C−B and
+the per-frame measured max |u|. Provenance for the BASELINE.md config-4
+row's "accuracy verified" claim.
+
+Usage:  python experiments/config4_accuracy.py  (TPU; ~4 min incl. the
+golden run's slow XLA gathers)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def run_pipeline(k=None, frames=8, solve_iter=40):
+    """bench.measure_fusion_fps's pipeline, returning the fused state."""
+    import bench
+    from levelsetfusion_tpu.core.grid import GridSpec
+    from levelsetfusion_tpu.io import synthetic
+    from levelsetfusion_tpu.models.fusion import (
+        FusionPipelineConfig,
+        fuse_sequence,
+    )
+
+    seq = synthetic.snoopy_style_sequence_3d(
+        frames, width=96, height=96, blob_radius_px=18.0,
+        blob_height=0.06, drift_px_per_frame=(1.5, 0.0),
+        pulse_amplitude=0.1,
+    )
+    grid = GridSpec(shape=bench.SHAPE, voxel_size=0.004, offset=(-64, -64, 75))
+    solver = bench._params(max_iterations=solve_iter)
+    if k is None:
+        solver = solver.replace(use_pallas_resample=False)
+    else:
+        solver = solver.replace(pallas_max_displacement=k)
+    cfg = FusionPipelineConfig(
+        grid=grid,
+        narrow_band_width_voxels=20,
+        hierarchical=False,
+        solver=solver,
+        # The point of this script is to measure what the clamp does, so a
+        # violating frame must NOT be silently redone at higher K.
+        auto_raise_displacement=False,
+    )
+    result = fuse_sequence(seq.frames, seq.camera, cfg)
+    return np.asarray(result.state.canonical), result.reports
+
+
+def band_diff(a, b):
+    band = (np.abs(a) < 1 - 1e-5) | (np.abs(b) < 1 - 1e-5)
+    d = np.abs(a - b)[band]
+    return {"max": float(d.max()), "mean": float(d.mean()),
+            "band_voxels": int(band.sum())}
+
+
+def main():
+    import bench
+
+    k_preset = 6
+    a, reports = run_pipeline(k=k_preset)
+    c, _ = run_pipeline(k=k_preset + 4)
+    b, _ = run_pipeline(k=None)
+    out = {
+        "config": "config4 fusion accuracy, 128^3, 8 frames, 40 iter/frame",
+        "k_preset": k_preset,
+        "per_frame_max_abs_displacement": [
+            list(r.max_abs_displacement) for r in reports
+        ],
+        "violations": [list(r.contract_violations) for r in reports],
+        "preset_vs_golden": band_diff(a, b),
+        "preset_vs_headroom": band_diff(a, c),
+        "headroom_vs_golden": band_diff(c, b),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

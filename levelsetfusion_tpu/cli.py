@@ -99,7 +99,7 @@ def _pair_3d(cfg: ExperimentConfig, grid: GridSpec):
         narrow_band_width_voxels=cfg.narrow_band_width_voxels,
         method=cfg.generation_method,
     )
-    return gen(canonical_depth), gen(live_depth)
+    return gen(canonical_depth), gen(live_depth), (canonical_depth, live_depth, cam)
 
 
 _UNSET = object()
@@ -144,6 +144,26 @@ def _contract_summary(
         "max_abs_displacement": [float(v) for v in np.asarray(md)],
         "contract_violations": violations,
     }
+
+
+def _log_focus(logger, canonical, live, warped, warp) -> None:
+    """Reference-style focus-coordinate deep dive (SURVEY §2.12), emitted
+    on ``--verbose`` runs: every logged field at the voxel with the largest
+    post-solve band residual — the single most informative voxel when a
+    solve underperforms."""
+    c = np.asarray(canonical)
+    lv = np.asarray(live)
+    w = np.asarray(warped)
+    u = np.asarray(warp)
+    band = (np.abs(c) < 1 - 1e-5) | (np.abs(lv) < 1 - 1e-5)
+    resid = np.where(band, np.abs(w - c), 0.0)
+    coords = tuple(
+        int(i) for i in np.unravel_index(int(np.argmax(resid)), c.shape)
+    )
+    fields = {"canonical": c, "live": lv, "warped_live": w}
+    for ax in range(u.shape[-1]):
+        fields[f"warp_u{ax}"] = u[..., ax]
+    logger.focus_voxel("max_band_residual", coords, **fields)
 
 
 def _fast_paths(cfg: ExperimentConfig) -> dict:
@@ -276,10 +296,12 @@ def run_experiment(
         if cfg.mode == "single_pair_2d":
             canonical, live, _ = _pair_2d(cfg, grid)
         else:
-            canonical, live = _pair_3d(cfg, grid)
+            canonical, live, _ = _pair_3d(cfg, grid)
         res = solve_single_level(canonical, live, cfg.solver)
         logger.log_solve(res)
         warped = warp_field(live, res.warp)
+        if verbose:
+            _log_focus(logger, canonical, live, warped, res.warp)
         rows = telemetry_to_rows(res.telemetry, res.iterations)
         write_run_artifacts(out_dir, rows, canonical, live, warped, res.warp)
         return logger.finish(
@@ -292,9 +314,25 @@ def run_experiment(
         )
 
     if cfg.mode == "hierarchical_2d":
-        canonical, live, _ = _pair_2d(cfg, grid)
+        canonical, live, pair = _pair_2d(cfg, grid)
         hp = HierarchicalParams(levels=cfg.levels, base=cfg.solver)
-        res = solve_hierarchical(canonical, live, hp)
+        if cfg.pyramid_method == "ewa_depth":
+            # SURVEY §2.10: coarse levels regenerated from depth with EWA
+            # sampling on coarsened grids, not block-mean downsampled.
+            from levelsetfusion_tpu.models.hierarchical import (
+                solve_hierarchical_from_depth,
+            )
+
+            res = solve_hierarchical_from_depth(
+                jnp.asarray(pair.canonical_depth),
+                jnp.asarray(pair.live_depth),
+                pair.camera,
+                grid,
+                hp,
+                narrow_band_width_voxels=cfg.narrow_band_width_voxels,
+            )
+        else:
+            res = solve_hierarchical(canonical, live, hp)
         all_rows = []
         for level, lr in enumerate(res.level_results):
             logger.log_solve(lr, level=level)
@@ -406,7 +444,7 @@ def run_experiment(
     if cfg.mode == "sharded_3d":
         from levelsetfusion_tpu.parallel import make_mesh, solve_single_level_sharded
 
-        canonical, live = _pair_3d(cfg, grid)
+        canonical, live, _ = _pair_3d(cfg, grid)
         if cfg.mesh_shape is not None:
             # 2D voxel-block mesh: spatial axes 0 and 1 shard.
             from levelsetfusion_tpu.parallel.mesh import make_mesh_2d
@@ -445,6 +483,8 @@ def run_experiment(
                 live, res.warp, mesh=mesh, live_halo=cfg.live_halo,
                 params=cfg.solver,
             )
+        if verbose:
+            _log_focus(logger, canonical, live, warped, res.warp)
         extra = {}
         if cfg.solver_kind == "schur":
             extra = {
@@ -472,11 +512,27 @@ def run_experiment(
             solve_hierarchical_sharded,
         )
 
-        canonical, live = _pair_3d(cfg, grid)
+        canonical, live, (cdepth, ldepth, cam3) = _pair_3d(cfg, grid)
         mesh = make_mesh(cfg.num_devices)
         hp = HierarchicalParams(levels=cfg.levels, base=cfg.solver)
+        pyramids = None
+        if cfg.pyramid_method == "ewa_depth":
+            from levelsetfusion_tpu.models.hierarchical import (
+                build_pyramid_from_depth,
+            )
+
+            canon_pyr, _ = build_pyramid_from_depth(
+                jnp.asarray(cdepth), cam3, grid, cfg.levels,
+                cfg.narrow_band_width_voxels,
+            )
+            live_pyr, _ = build_pyramid_from_depth(
+                jnp.asarray(ldepth), cam3, grid, cfg.levels,
+                cfg.narrow_band_width_voxels,
+            )
+            pyramids = (canon_pyr, live_pyr)
         res = solve_hierarchical_sharded(
-            canonical, live, hp, mesh=mesh, min_live_halo=cfg.live_halo
+            canonical, live, hp, mesh=mesh, min_live_halo=cfg.live_halo,
+            pyramids=pyramids,
         )
         all_rows = []
         for level, lr in enumerate(res.level_results):

@@ -61,6 +61,7 @@ def solve_hierarchical_sharded(
     initial_warp: jnp.ndarray | None = None,
     min_live_halo: int = 8,
     halo_margin: int = 2,
+    pyramids=None,
 ) -> HierarchicalResult:
     """Coarse-to-fine solve of a volume sharded along axis 0 of ``mesh``.
 
@@ -71,14 +72,21 @@ def solve_hierarchical_sharded(
       min_live_halo: floor for the fine-level live-field halo width.
       halo_margin: extra halo rows beyond the measured coarse displacement
         (headroom for the fine level's own updates).
+      pyramids: optional pre-built ``(canon_pyr, live_pyr)`` lists,
+        coarsest first — e.g. EWA depth-regenerated coarse levels from
+        ``models.hierarchical.build_pyramid_from_depth`` (SURVEY §2.10);
+        default is 2× block-mean downsampling of ``canonical``/``live``.
     """
     nd = mesh.shape[axis_name]
     shard = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
     min_rows = 3 if params.base.sobolev_smoothing else 2
 
-    canon_pyr = pyramid.build_pyramid(canonical, params.levels)
-    live_pyr = pyramid.build_pyramid(live, params.levels)
+    if pyramids is not None:
+        canon_pyr, live_pyr = pyramids
+    else:
+        canon_pyr = pyramid.build_pyramid(canonical, params.levels)
+        live_pyr = pyramid.build_pyramid(live, params.levels)
 
     warp = None
     if initial_warp is not None:

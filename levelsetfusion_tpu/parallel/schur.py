@@ -66,6 +66,29 @@ per-iteration warp-halo ppermute + Sobolev-halo ppermute + psum×3 + pmax.
 loop-body jaxprs and asserts the ≥T×/3-ish reduction; telemetry records
 inner/outer iteration counts.
 
+Why this solver is 1D (and what covers pod-scale 2D meshes)
+-----------------------------------------------------------
+
+The Schur reduction exists for the LATENCY-dominated regime: its byte
+savings are secondary (halo traffic is already ≤6% of compute at
+production shard sizes — parallel/scaling.py), but it cuts neighbor-
+exchange ROUNDS per unit of convergence ~T×, which matters when round
+latency is large relative to per-iteration compute: small shards, or a
+mesh axis that crosses a DCN slice boundary (~100 µs rounds vs ICI's
+~µs). On a pod slice the natural composition is therefore
+**Schur along the slowest axis × sync along the fast axis**: e.g. a
+(hosts, chips) mesh runs this solver's outer structure across hosts/DCN
+and the 2D-mesh sync solver (parallel/sharded2d) within the slice, where
+predict_efficiency already puts the sync solver >90% at per-chip blocks
+≥ (32, 256, 128). A full 2D Schur (both cut families reduced) would add
+a corner system coupling the four blocks at each mesh vertex through the
+Killing term's mixed ∂ₓ∂_y divergence coupling; per-axis sequential
+reduction (axis-0 cuts, then axis-1 cuts) preserves the fixed-point
+property below — at a joint fixed point every per-axis δ solves
+(I+aA₂)δ=0 ⇒ 0 — but the transient corner approximation buys nothing
+while both axes ride ICI, so the composition above is the supported
+production structure rather than a speculative 2D variant.
+
 Reference anchor: BASELINE.json north_star; SURVEY.md §5 long-context row.
 (file:line citations into /root/reference are impossible — empty mount.)
 """

@@ -36,6 +36,12 @@ class ExperimentConfig:
     dataset_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
     solver: SolverParams = SolverParams()
     levels: int = 3
+    # Hierarchical modes: how coarse pyramid levels are built (SURVEY §2.10).
+    # "block_mean" = 2× block-mean downsample of the finest TSDF;
+    # "ewa_depth"  = regenerate each coarse level directly from the depth
+    #                image on a coarsened grid with EWA sampling (the coarse
+    #                voxel's image footprint is integrated, not aliased).
+    pyramid_method: str = "block_mean"
     num_frames: int = 4
     checkpoint_every: int = 0  # frames; 0 = off
     num_devices: Optional[int] = None  # sharded mode: defaults to all
@@ -113,6 +119,8 @@ PRESETS: Dict[str, ExperimentConfig] = {
         solver=_solver_2d(max_iterations=600),
     ),
     # 2. 2D hierarchical coarse-to-fine with Sobolev-smoothed gradients.
+    # Coarse levels are EWA depth-regenerated (SURVEY §2.10's EWA-aware
+    # coarse generation), not block-mean downsampled.
     "config2_2d_hierarchical": ExperimentConfig(
         name="config2_2d_hierarchical",
         mode="hierarchical_2d",
@@ -121,6 +129,7 @@ PRESETS: Dict[str, ExperimentConfig] = {
         levels=3,
         solver=_solver_2d(max_iterations=60, sobolev_smoothing=True),
         dataset_kwargs={"live_shift_px": 8.0},
+        pyramid_method="ewa_depth",
     ),
     # 3. 3D dense 128³ single-pair with the full energy.
     "config3_3d_full_energy": ExperimentConfig(

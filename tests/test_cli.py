@@ -174,3 +174,51 @@ def test_config5_2dmesh_runs(tmp_path):
     assert s["iterations"] > 0
     assert "fast_paths" in s and "contract_violations" in s
     assert s["residual_reduction"] > 1.0
+
+
+def test_pyramid_method_knob(tmp_path):
+    """SURVEY §2.10: config2 builds its coarse levels by EWA depth
+    regeneration; the block_mean variant also runs and both converge, but
+    they produce genuinely different coarse-level solves."""
+    ewa_cfg = small(PRESETS["config2_2d_hierarchical"])
+    assert ewa_cfg.pyramid_method == "ewa_depth"
+    s_ewa = run_experiment(ewa_cfg, str(tmp_path / "ewa"))
+    bm_cfg = ExperimentConfig(
+        **{**ewa_cfg.__dict__, "pyramid_method": "block_mean"}
+    )
+    s_bm = run_experiment(bm_cfg, str(tmp_path / "bm"))
+    for s in (s_ewa, s_bm):
+        assert s["residual_reduction"] > 1.0, s
+    # Different coarse fields → different coarse-level trajectories.
+    assert (
+        s_ewa["iterations_per_level"] != s_bm["iterations_per_level"]
+        or abs(s_ewa["residual_after"] - s_bm["residual_after"]) > 1e-9
+    )
+
+
+def test_hierarchical_sharded_ewa_runs(tmp_path):
+    cfg = small(
+        PRESETS["config5_hierarchical"],
+        grid_shape=(64, 32, 32),
+        pyramid_method="ewa_depth",
+        solver=PRESETS["config5_hierarchical"].solver.replace(
+            max_iterations=10
+        ),
+    )
+    out = str(tmp_path / "c5h_ewa")
+    s = run_experiment(cfg, out)
+    _check_artifacts(out)
+    assert len(s["iterations_per_level"]) == 3
+    assert s["residual_reduction"] > 1.0
+
+
+def test_verbose_emits_focus_voxel(tmp_path):
+    """--verbose runs include the reference's focus-coordinate deep dive
+    (one event at the max-band-residual voxel, SURVEY §2.12)."""
+    cfg = small(PRESETS["config1_2d_pair"])
+    out = str(tmp_path / "v")
+    run_experiment(cfg, out, verbose=True)
+    with open(os.path.join(out, "events.jsonl")) as f:
+        events = [json.loads(line) for line in f]
+    focus = [e for e in events if e["event"] == "focus_voxel"]
+    assert focus and "warp_u0" in focus[0] and "canonical" in focus[0]

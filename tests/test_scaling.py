@@ -1,0 +1,114 @@
+"""Static communication accounting (parallel/scaling.py): the byte/round
+counts that back the BASELINE.md scaling-efficiency model, cross-checked
+against hand computation and the solvers' actual jaxpr collective counts."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from levelsetfusion_tpu.models.params import SolverParams
+from levelsetfusion_tpu.parallel import make_mesh, solve_single_level_sharded
+from levelsetfusion_tpu.parallel.scaling import (
+    comm_bytes_per_iteration,
+    predict_efficiency,
+)
+from levelsetfusion_tpu.parallel.schur import solve_single_level_schur
+
+
+def test_sync_fused_bytes_hand_computed():
+    # (512,512,512)/8 devices, Sobolev on → hx=5 ghost rows, 3 components:
+    # 5 rows × 2 sides × 3 × (512×512) plane × 4 B = 31_457_280 B.
+    p = SolverParams(sobolev_smoothing=True)
+    b = comm_bytes_per_iteration((512, 512, 512), (8,), p, fused=True)
+    assert b.bytes_per_iteration == 5 * 2 * 3 * 512 * 512 * 4
+    assert b.ppermute_rounds_per_iteration == 1.0
+    # live halo once per solve: 8 rows × 2 sides × plane × 4 B, one channel.
+    assert b.bytes_once_per_solve == 8 * 2 * 512 * 512 * 4
+
+
+def test_schur_amortizes_bytes():
+    p = SolverParams(sobolev_smoothing=True)
+    sync = comm_bytes_per_iteration((512, 512, 512), (8,), p, fused=True)
+    schur = comm_bytes_per_iteration(
+        (512, 512, 512), (8,), p, solver_kind="schur", inner_iterations=8
+    )
+    # (2+1) rows vs 5 rows, further amortized 8×.
+    assert schur.bytes_per_iteration * 8 == 3 * 2 * 3 * 512 * 512 * 4
+    assert schur.bytes_per_iteration < sync.bytes_per_iteration / 10
+    assert schur.ppermute_rounds_per_iteration == pytest.approx(2 / 8)
+
+
+def test_2d_mesh_counts_both_axes():
+    p = SolverParams(sobolev_smoothing=False)
+    b1 = comm_bytes_per_iteration((128, 64, 128), (8,), p, fused=True)
+    b2 = comm_bytes_per_iteration((128, 64, 128), (2, 4), p, fused=True)
+    # 1D: plane0 = 64×128. 2D (2,4): plane0 = 16×128, plane1 = 64×128.
+    assert b1.bytes_per_iteration == 2 * 2 * 3 * 64 * 128 * 4
+    assert b2.bytes_per_iteration == 2 * 2 * 3 * (16 * 128 + 64 * 128) * 4
+    assert b2.ppermute_rounds_per_iteration == 2.0
+
+
+def test_round_counts_match_solver_jaxprs():
+    """The model's per-iteration exchange-round counts are exactly what the
+    compiled loop bodies issue (each round = fwd+bwd ppermute pair; the
+    once-per-solve live halo adds one pair; the jnp Sobolev path adds a
+    gradient-halo pair per iteration)."""
+    rng = np.random.default_rng(0)
+    shape = (64, 16, 32)
+    c = jnp.asarray(np.tanh(rng.standard_normal(shape).astype(np.float32) * 0.3))
+    l = jnp.asarray(np.roll(np.asarray(c), 1, 0))
+    mesh = make_mesh(4)
+
+    def pcount(fn):
+        return str(jax.make_jaxpr(fn)(c, l)).count("ppermute")
+
+    for sobolev in (False, True):
+        p = SolverParams(
+            max_iterations=2, sobolev_smoothing=sobolev,
+            convergence_threshold=0.0,
+        )
+        b = comm_bytes_per_iteration(shape, (4,), p, fused=False)
+        got = pcount(
+            lambda a, bb: solve_single_level_sharded(
+                a, bb, p, mesh=mesh, live_halo=8
+            )
+        )
+        assert got == 2 + 2 * b.ppermute_rounds_per_iteration, (sobolev, got)
+
+        bs = comm_bytes_per_iteration(
+            shape, (4,), p, solver_kind="schur", inner_iterations=2
+        )
+        got_s = pcount(
+            lambda a, bb: solve_single_level_schur(
+                a, bb, p, mesh=mesh, live_halo=8, inner_iterations=2
+            )
+        )
+        assert got_s == 2 + 2 * (bs.ppermute_rounds_per_iteration * 2), got_s
+
+
+def test_predicted_efficiency_regimes():
+    """512³/8 with the measured 12.2 ms/iteration compute sits well above
+    the ≥80% target under the conservative zero-overlap model; a tiny
+    shard (latency-dominated) falls below it — the model distinguishes
+    the regimes rather than flattering everything."""
+    p = SolverParams(sobolev_smoothing=True)
+    big = predict_efficiency(
+        (512, 512, 512), (8,), p, compute_s_per_iteration=12.2e-3
+    )
+    assert big.efficiency > 0.9, big
+    assert big.comm_s_per_iteration == pytest.approx(
+        (5 * 2 * 3 * 512 * 512 * 4 / 2) / 4.5e10
+    )
+    tiny = predict_efficiency(
+        (32, 32, 128), (8,), p, compute_s_per_iteration=3e-6,
+        round_latency_s=5e-6,
+    )
+    assert tiny.efficiency < 0.8
+    # Schur recovers efficiency for small shards by amortizing the rounds.
+    tiny_schur = predict_efficiency(
+        (32, 32, 128), (8,), p, compute_s_per_iteration=3e-6,
+        solver_kind="schur", inner_iterations=8, round_latency_s=5e-6,
+    )
+    assert tiny_schur.efficiency > tiny.efficiency
