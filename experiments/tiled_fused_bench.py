@@ -9,7 +9,11 @@ to check the shared-helper refactor didn't regress it.
 Run: python experiments/tiled_fused_bench.py [--shape X Y Z] [--tiles XB YB]
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

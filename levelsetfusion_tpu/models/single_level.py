@@ -169,14 +169,23 @@ def solve_single_level(
     n = params.max_iterations
     num_voxels = float(canonical.size)
     zeros = jnp.zeros((n,), canonical.dtype)
+    warp0 = jnp.moveaxis(initial_warp, -1, 0) if use_fused else initial_warp
     init = _LoopState(
-        warp=jnp.moveaxis(initial_warp, -1, 0) if use_fused else initial_warp,
+        warp=warp0,
         iteration=jnp.zeros((), jnp.int32),
         max_update=jnp.full((), jnp.inf, canonical.dtype),
         learning_rate=jnp.asarray(params.learning_rate, canonical.dtype),
         prev_energy=jnp.full((), jnp.inf, canonical.dtype),
         telemetry=SolveTelemetry(zeros, zeros, zeros, zeros, zeros),
-        max_disp=jnp.zeros((d,), canonical.dtype),
+        # Fused path: the kernel reports per-axis max |u'| of each updated
+        # warp in its stats (free — the data is in VMEM), so the loop only
+        # needs the warm start's max here; the jnp path reduces per
+        # iteration as before.
+        max_disp=(
+            _axis_max_abs(warp0, use_fused)
+            if use_fused
+            else jnp.zeros((d,), canonical.dtype)
+        ),
     )
 
     def cond(state: _LoopState):
@@ -229,19 +238,26 @@ def solve_single_level(
             smoothing=stats.smoothing_energy,
             level_set=stats.level_set_energy,
         )
-        return new_warp, stats.max_update, stats.sum_update / num_voxels, energies
+        return (
+            new_warp, stats.max_update, stats.sum_update / num_voxels,
+            energies, stats.max_abs_u,
+        )
 
     def body(state: _LoopState):
         # The warp entering this body is what the resample gathers with —
-        # exactly the value the displacement contract constrains.
-        max_disp = jnp.maximum(
-            state.max_disp, _axis_max_abs(state.warp, use_fused)
-        )
+        # exactly the value the displacement contract constrains. The fused
+        # kernel reports each UPDATED warp's per-axis max in stats, so with
+        # the warm start folded into the init the running max covers the
+        # same set of warps on both paths.
         if use_fused:
-            new_warp, max_update, mean_update, energies = _step_fused(
+            new_warp, max_update, mean_update, energies, mxu = _step_fused(
                 state.warp, state.learning_rate
             )
+            max_disp = jnp.maximum(state.max_disp, mxu)
         else:
+            max_disp = jnp.maximum(
+                state.max_disp, _axis_max_abs(state.warp, use_fused)
+            )
             res = _solver_step(
                 canonical, live, state.warp, params, kernel, prepared_live
             )

@@ -97,6 +97,11 @@ class FusedStats(NamedTuple):
     level_set_energy: jnp.ndarray
     sum_update: jnp.ndarray
     max_update: jnp.ndarray
+    # Per-component max |u'| of the UPDATED warp over the output window —
+    # the displacement-contract observable, computed in-kernel (the data is
+    # already in VMEM; the solver loops previously paid three whole-warp
+    # HBM reductions per iteration for this).
+    max_abs_u: jnp.ndarray  # (3,)
 
 
 def _roll(a, s, axis):
@@ -363,9 +368,12 @@ def _fused_kernel(
     # (Mosaic lowers pl.ds on refs but not dynamic_slice on values).
     neg_rate = -rate_ref[0]
     upd = [neg_rate * total[k] for k in range(3)]
+    mxu = []
     for k in range(3):
-        scratch_ref[:] = u[k] + upd[k]
+        new_u = u[k] + upd[k]
+        scratch_ref[:] = new_u
         out_ref[k] = scratch_ref[pl.ds(sl_start, xb)]
+        mxu.append(jnp.max(jnp.where(msk, jnp.abs(new_u), 0.0)))
     ul = jnp.sqrt(upd[0] * upd[0] + upd[1] * upd[1] + upd[2] * upd[2])
     ul = jnp.where(msk, ul, 0.0)
     sum_ul = jnp.sum(ul)
@@ -378,6 +386,10 @@ def _fused_kernel(
     stats_ref[2] = jnp.where(first, e_ls, stats_ref[2] + e_ls)
     stats_ref[3] = jnp.where(first, sum_ul, stats_ref[3] + sum_ul)
     stats_ref[4] = jnp.where(first, max_ul, jnp.maximum(stats_ref[4], max_ul))
+    for k in range(3):
+        stats_ref[5 + k] = jnp.where(
+            first, mxu[k], jnp.maximum(stats_ref[5 + k], mxu[k])
+        )
 
 
 def _fused_kernel_tiled(
@@ -527,9 +539,12 @@ def _fused_kernel_tiled(
 
     neg_rate = -rate_ref[0]
     upd = [neg_rate * total[k] for k in range(3)]
+    mxu = []
     for k in range(3):
-        stage_ref[:] = u[k] + upd[k]
+        new_u = u[k] + upd[k]
+        stage_ref[:] = new_u
         out_ref[k] = stage_ref[pl.ds(slx, xb), pl.ds(sly, yb), :]
+        mxu.append(jnp.max(jnp.where(msk, jnp.abs(new_u), 0.0)))
     ul = jnp.sqrt(upd[0] * upd[0] + upd[1] * upd[1] + upd[2] * upd[2])
     ul = jnp.where(msk, ul, 0.0)
     sum_ul = jnp.sum(ul)
@@ -541,6 +556,255 @@ def _fused_kernel_tiled(
     stats_ref[2] = jnp.where(first, e_ls, stats_ref[2] + e_ls)
     stats_ref[3] = jnp.where(first, sum_ul, stats_ref[3] + sum_ul)
     stats_ref[4] = jnp.where(first, max_ul, jnp.maximum(stats_ref[4], max_ul))
+    for k in range(3):
+        stats_ref[5 + k] = jnp.where(
+            first, mxu[k], jnp.maximum(stats_ref[5 + k], mxu[k])
+        )
+
+
+def _fused_kernel_reuse(
+    meta_ref,  # scalar-prefetch int32 (4,): [x_offset, xg-1, y_offset, yg-1]
+    rate_ref,  # scalar-prefetch f32  (1,)
+    warped_ref,  # (XL, Y, Z)  whole array in VMEM
+    canon_ref,  # (XL, Y, Z)
+    warp_ref,  # (3, XL, Y, Z)
+    out_ref,  # (3, xb, Y, Z) updated warp for block i-2 (skewed)
+    stats_ref,  # SMEM (8,)
+    stage_ref,  # VMEM (xw', Y, Z) term staging (window extent)
+    ring_ref,  # VMEM (3, 3*xb, Y, Z) persistent term-row ring
+    conv_ref,  # VMEM (xb + 2r, Y, Z) x-conv input staging
+    *,
+    xb: int,
+    x_lo: int,
+    x_len: int,
+    w_data: float,
+    w_smooth: float,
+    w_ls: float,
+    killing: bool,
+    gamma: float,
+    band_union: bool,
+    taps: tuple,
+    conv_local_x: bool = False,
+):
+    """Whole-volume kernel with Sobolev TERM-ROW REUSE (VERDICT r3 weak #4).
+
+    The plain kernel computes terms on ``xb + 2h`` window rows per step and
+    keeps only ``xb`` — at xb=16, h=5 that is 1.63× redundant term/conv
+    compute. Here term x-blocks are OUTPUT-ALIGNED (block ``b`` covers
+    input rows ``[x_lo + b·xb, x_lo + (b+1)·xb)``) and each is computed
+    exactly once into a persistent 3-block VMEM ring. The grid runs
+    ``n + 2`` skewed steps:
+
+      step 0      computes the LEFT EDGE TAIL — the ``r`` term rows below
+                  the first output block (halo rows, or exact zeros past
+                  the conv boundary), with *static* window offsets;
+      step i      (1 ≤ i ≤ n) computes term block ``i−1``;
+      step n+1    computes the RIGHT edge tail (``r`` rows above the last
+                  output block, static offsets);
+      steps i ≥ 2 ALSO output block ``j = i−2``: its x-conv reads ring
+                  rows ``[o_j − r, o_j + xb + r)`` = last ``r`` of block
+                  ``j−1`` + block ``j`` + first ``r`` of block ``j+1`` —
+                  all already in the ring.
+
+    Conv zero boundaries are baked into the ring at write time, so the
+    conv is borderless static slices. Exactness contract unchanged —
+    parity-tested against the jnp assembly like the other two lowerings.
+    Requires ``taps`` and ``xb ≥ 2r``.
+    """
+    i = pl.program_id(0)
+    xl = warped_ref.shape[0]
+    ysz = warped_ref.shape[1]
+    zsz = warped_ref.shape[2]
+    r = len(taps) // 2
+    xw = min(xb + 4, xl)  # term block + stencil radius 2 each side
+    kt = len(taps)
+
+    # ---- window anchor ------------------------------------------------------
+    # Interior steps: block b = i−1 starts at t0 = x_lo + (i−1)·xb ≥ 0.
+    # Edge steps use STATIC anchors so every slice offset stays legal:
+    # step 0 anchors at the r rows below x_lo, step n+1 at the r rows above
+    # x_lo + x_len.  (Python ints — resolved at trace time.)
+    t0_i = x_lo + (i - 1) * xb
+    off_lo = max(0, min(x_lo - r - 2, xl - xw))
+    ts_lo = min(max(x_lo - r - off_lo, 0), xw - r)
+    t0_hi = x_lo + x_len
+    off_hi = max(0, min(t0_hi - 2, xl - xw))
+    ts_hi = min(max(t0_hi - off_hi, 0), xw - r)
+    n_blocks = x_len // xb
+    is_lo = i == 0
+    is_hi = i == n_blocks + 1
+    edge = is_lo | is_hi
+    off = jnp.where(
+        is_lo, off_lo,
+        jnp.where(is_hi, off_hi, jnp.clip(t0_i - 2, 0, xl - xw)),
+    )
+    ts = t0_i - off  # interior steps only; ∈ [0, xw − xb] there
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (xw, 1, 1), 0)
+    brow = rows + off
+    grow = brow + meta_ref[0]
+    gend = grow - meta_ref[1]
+    is0 = grow == 0
+    isn = gend == 0
+    # Energies: interior rows only; each lies in exactly one interior term
+    # block, and the edge steps contribute nothing (mask empty there).
+    msk = (
+        (rows >= ts) & (rows < ts + xb)
+        & (brow >= x_lo) & (brow < x_lo + x_len)
+        & jnp.logical_not(edge)
+    )
+
+    def isum(a):
+        return jnp.sum(jnp.where(msk, a, 0.0))
+
+    yv = jax.lax.broadcasted_iota(jnp.int32, (1, ysz, 1), 1)
+    zv = jax.lax.broadcasted_iota(jnp.int32, (1, 1, zsz), 2)
+    gy = yv + meta_ref[2]
+    gy_end = gy - meta_ref[3]
+    y_first, y_last = gy == 0, gy_end == 0
+    z_first, z_last = zv == 0, zv == zsz - 1
+    zve = zv - (zsz - 1)
+
+    dd, lap3 = _make_derivs(is0, isn, y_first, y_last, z_first, z_last)
+
+    w = warped_ref[pl.ds(off, xw)]
+    c = canon_ref[pl.ds(off, xw)]
+    u = [warp_ref[k, pl.ds(off, xw)] for k in range(3)]
+
+    total, e_data, e_smooth, e_ls = _assemble_terms(
+        w, c, u, dd, lap3, isum,
+        w_data=w_data, w_smooth=w_smooth, w_ls=w_ls,
+        killing=killing, gamma=gamma, band_union=band_union,
+    )
+
+    # ---- ring write ---------------------------------------------------------
+    # Block b lives at slot rem(b's compute step, 3)·xb.  Conv-boundary
+    # zeros are stored, not masked at read: rows past the global domain
+    # (or, under conv_local_x, past the block interior) write 0.
+    slot = jax.lax.rem(i, 3) * xb
+
+    @pl.when(jnp.logical_not(edge))
+    def _():
+        if conv_local_x:
+            lo_b, hi_b = x_lo, x_lo + x_len - 1
+            need = (t0_i < lo_b) | (t0_i + xb - 1 > hi_b)
+            vrow = (brow >= lo_b) & (brow <= hi_b)
+        else:
+            need = (t0_i + meta_ref[0] < 0) | (
+                t0_i + xb - 1 + meta_ref[0] > meta_ref[1]
+            )
+            vrow = (grow >= 0) & (gend <= 0)
+        for k in range(3):
+            stage_ref[:] = total[k]
+            ring_ref[k, pl.ds(slot, xb)] = stage_ref[pl.ds(ts, xb)]
+
+        @pl.when(need)
+        def _():
+            for k in range(3):
+                stage_ref[:] = jnp.where(vrow, total[k], 0.0)
+                ring_ref[k, pl.ds(slot, xb)] = stage_ref[pl.ds(ts, xb)]
+
+    # Edge tails: r rows each, masked by the rows' own global coordinates
+    # (mask vectors are independent of the possibly-clamped load window, so
+    # fully-out-of-domain tails store zeros regardless of window content).
+    @pl.when(is_lo)
+    def _():
+        tail = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0)
+        trow = tail + (x_lo - r)  # input-row coords of the tail rows
+        if conv_local_x:
+            vtail = jnp.zeros((r, 1, 1), jnp.bool_)  # below block interior
+        else:
+            tg = trow + meta_ref[0]
+            vtail = (tg >= 0) & (tg <= meta_ref[1])
+        for k in range(3):
+            stage_ref[:] = total[k]
+            ring_ref[k, xb - r : xb] = jnp.where(
+                vtail, stage_ref[ts_lo : ts_lo + r], 0.0
+            )
+
+    @pl.when(is_hi)
+    def _():
+        tail = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0)
+        trow = tail + t0_hi
+        if conv_local_x:
+            vtail = jnp.zeros((r, 1, 1), jnp.bool_)  # above block interior
+        else:
+            tg = trow + meta_ref[0]
+            vtail = (tg >= 0) & (tg <= meta_ref[1])
+        for k in range(3):
+            stage_ref[:] = total[k]
+            ring_ref[k, pl.ds(slot, r)] = jnp.where(
+                vtail, stage_ref[ts_hi : ts_hi + r], 0.0
+            )
+
+    # ---- output phase: block j = i−2 ---------------------------------------
+    @pl.when(i > 1)
+    def _():
+        j = i - 2
+        o_j = x_lo + j * xb
+        # Block b was computed at step b+1 → slot rem(b+1, 3).
+        slot_l = jax.lax.rem(i - 2, 3) * xb  # block j−1 (or the edge tail)
+        slot_m = jax.lax.rem(i - 1, 3) * xb  # block j
+        neg_rate = -rate_ref[0]
+        upds = []
+        for k in range(3):
+            conv_ref[:r] = ring_ref[k, pl.ds(slot_l + xb - r, r)]
+            conv_ref[r : r + xb] = ring_ref[k, pl.ds(slot_m, xb)]
+            conv_ref[r + xb :] = ring_ref[k, pl.ds(slot, r)]
+            a = None
+            for t in range(kt):
+                term = taps[kt - 1 - t] * conv_ref[t : t + xb]
+                a = term if a is None else a + term
+            a = _conv_lane(a, 1, gy, gy_end, taps)
+            a = _conv_lane(a, 2, zv, zve, taps)
+            upd = neg_rate * a
+            upds.append(upd)
+            new_u = warp_ref[k, pl.ds(o_j, xb)] + upd
+            out_ref[k] = new_u
+            mxu = jnp.max(jnp.abs(new_u))  # output rows are all interior
+            stats_ref[5 + k] = jnp.where(
+                i == 2, mxu, jnp.maximum(stats_ref[5 + k], mxu)
+            )
+        ul = jnp.sqrt(
+            upds[0] * upds[0] + upds[1] * upds[1] + upds[2] * upds[2]
+        )
+        sum_ul = jnp.sum(ul)
+        max_ul = jnp.max(ul)
+        first_out = i == 2
+        stats_ref[3] = jnp.where(first_out, sum_ul, stats_ref[3] + sum_ul)
+        stats_ref[4] = jnp.where(
+            first_out, max_ul, jnp.maximum(stats_ref[4], max_ul)
+        )
+
+    first = i == 0
+    stats_ref[0] = jnp.where(first, e_data, stats_ref[0] + e_data)
+    stats_ref[1] = jnp.where(first, e_smooth, stats_ref[1] + e_smooth)
+    stats_ref[2] = jnp.where(first, e_ls, stats_ref[2] + e_ls)
+
+
+_RING_SLOTS = 3
+
+
+def _pick_xb_reuse(x_len: int, x_total: int, y: int, z: int, r: int) -> int:
+    """Largest x block for the row-reuse whole-volume kernel: temporaries
+    now scale with xb+4 (not xb+2h), plus the 3-block term ring."""
+    row = y * z * 4
+    budget = _VMEM_BUDGET - _input_bytes(x_total, y, z)
+    for cand in (64, 32, 16, 8):
+        if x_len % cand or cand < 2 * r:
+            continue
+        vmem = (
+            _TEMP_ROWSETS * (cand + 4) * row  # straight-line temporaries
+            + 3 * _RING_SLOTS * cand * row  # term ring (3 components)
+            + (cand + 4) * row  # stage
+            + (cand + 2 * r) * row  # conv staging
+            + 3 * cand * row  # output block
+        )
+        if vmem <= budget:
+            return cand
+    raise ValueError(
+        f"shape ({x_total},{y},{z}) does not fit the reuse kernel's VMEM plan"
+    )
 
 
 _VMEM_BUDGET = 100 * 1024 * 1024
@@ -645,6 +909,12 @@ def fused_supported(
             return True
         except ValueError:
             pass
+        if r:
+            try:
+                _pick_xb_reuse(x_len, x, y, z, r)
+                return True
+            except ValueError:
+                pass
     try:
         _pick_tiles(x_len, x, y_len, y, z, h, r)
         return True
@@ -658,7 +928,7 @@ def fused_supported(
         "w_data", "w_smooth", "w_ls", "killing", "gamma", "band_union",
         "taps", "interpret", "x_global", "x_lo", "x_len",
         "y_global", "y_lo", "y_len", "conv_local_x", "force_tiled",
-        "tile_override",
+        "tile_override", "row_reuse",
     ),
 )
 def fused_gradient_update(
@@ -686,6 +956,7 @@ def fused_gradient_update(
     conv_local_x: bool = False,
     force_tiled: bool = False,
     tile_override: tuple | None = None,
+    row_reuse: bool = True,
 ):
     """One fused solver step after the resample: returns ``(new_warp_cm,
     FusedStats)``.
@@ -733,14 +1004,56 @@ def fused_gradient_update(
     rate_arr = jnp.asarray(rate, jnp.float32).reshape((1,))
 
     whole = False
+    reuse = False
     if not force_tiled and y_lo == 0 and y_len == yt:
-        try:
-            xb = _pick_xb(x_len, xt, yt, z, h)
-            whole = True
-        except ValueError:
-            pass
+        # Prefer the term-row-reuse lowering when the Sobolev filter is on:
+        # same exactness contract, no halo-row recompute (~38% less term +
+        # conv work at xb=16).
+        if taps and row_reuse:
+            try:
+                xb = _pick_xb_reuse(x_len, xt, yt, z, r)
+                whole = reuse = True
+            except ValueError:
+                pass
+        if not whole:
+            try:
+                xb = _pick_xb(x_len, xt, yt, z, h)
+                whole = True
+            except ValueError:
+                pass
 
-    if whole:
+    if reuse:
+        kern = functools.partial(
+            _fused_kernel_reuse,
+            xb=xb, x_lo=x_lo, x_len=x_len,
+            w_data=w_data, w_smooth=w_smooth, w_ls=w_ls,
+            killing=killing, gamma=gamma, band_union=band_union, taps=taps,
+            conv_local_x=conv_local_x,
+        )
+        grid = (x_len // xb + 2,)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        out_specs = (
+            pl.BlockSpec(
+                (3, xb, yt, z),
+                lambda i, *_: (0, jnp.maximum(i - 2, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((3, x_len, yt, z), warped.dtype),
+            jax.ShapeDtypeStruct((8,), jnp.float32),
+        )
+        scratch_shapes = [
+            pltpu.VMEM((min(xb + 4, xt), yt, z), jnp.float32),  # stage
+            pltpu.VMEM((3, _RING_SLOTS * xb, yt, z), jnp.float32),  # ring
+            pltpu.VMEM((xb + 2 * r, yt, z), jnp.float32),  # conv staging
+        ]
+    elif whole:
         kern = functools.partial(
             _fused_kernel,
             xb=xb, h=h, x_lo=x_lo, x_len=x_len,
@@ -829,6 +1142,7 @@ def fused_gradient_update(
         level_set_energy=stats[2],
         sum_update=stats[3],
         max_update=stats[4],
+        max_abs_u=stats[5:8],
     )
 
 

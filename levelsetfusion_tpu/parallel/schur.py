@@ -312,9 +312,14 @@ def solve_single_level_schur(
                     fused_gradient_update,
                 )
 
+                # The kernel reports each updated warp's per-axis max |u|
+                # in its stats; seed with the warp entering the sweep.
+                max_disp = jnp.maximum(
+                    max_disp, _axis_max_abs(warp, use_fused)
+                )
+
                 def inner(_, carry):
                     w, _, _, md = carry
-                    md = jnp.maximum(md, _axis_max_abs(w, use_fused))
                     w_ext_cm = jnp.concatenate(
                         [ghosts[0], w, ghosts[1]], axis=1
                     )
@@ -348,6 +353,7 @@ def solve_single_level_schur(
                         stats.smoothing_energy,
                         stats.level_set_energy,
                     )
+                    md = jnp.maximum(md, stats.max_abs_u)
                     return (new_w, new_w - w, energies, md)
             else:
 

@@ -532,15 +532,25 @@ def solve_single_level_sharded(
             )
             x_off = lax.axis_index(axis_name) * n_local - hx
 
+        from levelsetfusion_tpu.models.single_level import _axis_max_abs
+
         zeros = jnp.zeros((n_iter,), canon_blk.dtype)
+        warp0 = jnp.moveaxis(warp0_blk, -1, 0) if use_fused else warp0_blk
         init = (
-            jnp.moveaxis(warp0_blk, -1, 0) if use_fused else warp0_blk,
+            warp0,
             jnp.zeros((), jnp.int32),
             jnp.full((), jnp.inf, canon_blk.dtype),
             jnp.asarray(params.learning_rate, canon_blk.dtype),
             jnp.full((), jnp.inf, canon_blk.dtype),
             SolveTelemetry(zeros, zeros, zeros, zeros, zeros),
-            jnp.zeros((d,), canon_blk.dtype),
+            # Fused path: the kernel reports each updated warp's per-axis
+            # max |u| in its stats; seed with the warm start's max. The jnp
+            # path reduces per iteration in the body as before.
+            (
+                _axis_max_abs(warp0, use_fused)
+                if use_fused
+                else jnp.zeros((d,), canon_blk.dtype)
+            ),
         )
 
         def cond(state):
@@ -587,17 +597,22 @@ def solve_single_level_sharded(
             warp, it, _, rate, prev_e, tel, max_disp = state
             # Displacement-contract observable: per-axis max |u| of the warp
             # this iteration resamples with (per-shard; pmax'd after the loop).
-            from levelsetfusion_tpu.models.single_level import _axis_max_abs
-
-            max_disp = jnp.maximum(max_disp, _axis_max_abs(warp, use_fused))
             if use_fused:
                 new_warp, stats = _fused_step(warp, rate)
+                max_disp = jnp.maximum(max_disp, stats.max_abs_u)
                 e_data = lax.psum(stats.data_energy, axis_name)
                 e_smooth = lax.psum(stats.smoothing_energy, axis_name)
                 e_ls = lax.psum(stats.level_set_energy, axis_name)
                 max_up = lax.pmax(stats.max_update, axis_name)
                 mean_up = lax.psum(stats.sum_update, axis_name) / num_voxels
             else:
+                from levelsetfusion_tpu.models.single_level import (
+                    _axis_max_abs,
+                )
+
+                max_disp = jnp.maximum(
+                    max_disp, _axis_max_abs(warp, use_fused)
+                )
                 grad, (e_data, e_smooth, e_ls) = _block_gradient(
                     canon_blk, live_ext, warp, params, kernel, axis_name, nd,
                     live_halo, prepared,

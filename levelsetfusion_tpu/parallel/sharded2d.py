@@ -498,15 +498,24 @@ def solve_single_level_sharded2d(
                 y_offset=y_off, y_global=y_gl, y_lo=8, y_len=n1,
             )
 
+        from levelsetfusion_tpu.models.single_level import _axis_max_abs
+
         zeros = jnp.zeros((n_iter,), canon_blk.dtype)
+        warp0 = jnp.moveaxis(warp0_blk, -1, 0) if use_fused else warp0_blk
         init = (
-            jnp.moveaxis(warp0_blk, -1, 0) if use_fused else warp0_blk,
+            warp0,
             jnp.zeros((), jnp.int32),
             jnp.full((), jnp.inf, canon_blk.dtype),
             jnp.asarray(params.learning_rate, canon_blk.dtype),
             jnp.full((), jnp.inf, canon_blk.dtype),
             SolveTelemetry(zeros, zeros, zeros, zeros, zeros),
-            jnp.zeros((d,), canon_blk.dtype),
+            # Fused path: per-axis max |u'| rides the kernel stats; seed
+            # with the warm start (jnp path reduces per iteration below).
+            (
+                _axis_max_abs(warp0, use_fused)
+                if use_fused
+                else jnp.zeros((d,), canon_blk.dtype)
+            ),
         )
 
         def cond(state):
@@ -515,13 +524,9 @@ def solve_single_level_sharded2d(
 
         def body(state):
             warp, it, _, rate, prev_e, tel, max_disp = state
-            from levelsetfusion_tpu.models.single_level import _axis_max_abs
-
-            max_disp = jnp.maximum(
-                max_disp, _axis_max_abs(warp, use_fused)
-            )
             if use_fused:
                 new_warp, stats = _fused_step2d(warp, rate)
+                max_disp = jnp.maximum(max_disp, stats.max_abs_u)
                 e_data = lax.psum(lax.psum(stats.data_energy, an0), an1)
                 e_smooth = lax.psum(
                     lax.psum(stats.smoothing_energy, an0), an1
@@ -535,6 +540,9 @@ def solve_single_level_sharded2d(
                     / num_voxels
                 )
             else:
+                max_disp = jnp.maximum(
+                    max_disp, _axis_max_abs(warp, use_fused)
+                )
                 grad, (e_data, e_smooth, e_ls) = block_gradient(
                     canon_blk, live_ext, warp, prepared
                 )

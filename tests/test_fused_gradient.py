@@ -57,6 +57,9 @@ def _golden(warped, canonical, warp, rate, *, w_data, w_smooth, w_ls,
         level_set_energy=e_ls,
         sum_update=jnp.sum(ul),
         max_update=jnp.max(ul),
+        max_abs_u=jnp.max(
+            jnp.abs(new_warp), axis=tuple(range(new_warp.ndim - 1))
+        ),
     )
 
 
@@ -116,6 +119,9 @@ def test_fused_matches_golden(rng, w_smooth, w_ls, killing, sobolev, band_union)
     )
     np.testing.assert_allclose(
         got_stats.max_update, ref_stats.max_update, rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        got_stats.max_abs_u, ref_stats.max_abs_u, rtol=1e-4, atol=1e-7
     )
 
 
