@@ -62,7 +62,9 @@ def chain(fused, n):
         for _ in range(n):
             u, stats = fused(w, c, u, rate)
             rate = rate + 0.0 * stats.max_update
-        return u, rate
+        # On-device reduction: full-warp fetches over the tunnel bury the
+        # differenced timing in transfer noise.
+        return jnp.sum(u), rate
 
     return run
 

@@ -59,7 +59,9 @@ def chain(fn, n):
         for _ in range(n):
             u, stats = fn(w, c, u, rate)
             rate = rate + 0.0 * stats.max_update  # serialize
-        return u, rate
+        # Reduce on device: fetching the full updated warp costs seconds
+        # over the remote-TPU tunnel and buries the differenced timing.
+        return jnp.sum(u), rate
 
     return run
 

@@ -782,6 +782,277 @@ def _fused_kernel_reuse(
     stats_ref[2] = jnp.where(first, e_ls, stats_ref[2] + e_ls)
 
 
+def _fused_kernel_tiled_reuse(
+    meta_ref,  # scalar-prefetch int32 (4,): [x_offset, xg-1, y_offset, yg-1]
+    rate_ref,  # scalar-prefetch f32  (1,)
+    warped_hbm,  # (XL, YL, Z) in HBM/ANY
+    canon_hbm,  # (XL, YL, Z)
+    warp_hbm,  # (3, XL, YL, Z)
+    out_ref,  # (3, xb, yb, Z) updated-warp block (skewed: block i-2)
+    stats_ref,  # SMEM (8,)
+    wbuf,  # VMEM (2, xwp, yw, Z) double-buffered warped window
+    cbuf,  # VMEM (2, xwp, yw, Z)
+    ubuf,  # VMEM (3, 3, xwp, yw, Z) TRIPLE-buffered warp window: the
+    #   output phase reads the PREVIOUS step's window while the NEXT
+    #   step's copy is already in flight — three live slots.
+    stage_ref,  # VMEM (xwp, yw, Z) term staging (reused for output slicing)
+    ring_ref,  # VMEM (3, 3*xb, yw, Z) persistent term-row ring
+    conv_ref,  # VMEM (xb + 2r, yw, Z) x-conv input staging
+    sems,  # DMA semaphores (2, 5)
+    *,
+    xb: int,
+    yb: int,
+    x_lo: int,
+    x_len: int,
+    y_lo: int,
+    w_data: float,
+    w_smooth: float,
+    w_ls: float,
+    killing: bool,
+    gamma: float,
+    band_union: bool,
+    taps: tuple,
+    conv_local_x: bool = False,
+):
+    """Y-tiled kernel with the same term-row-reuse skew as
+    ``_fused_kernel_reuse``, for blocks too big for VMEM-resident inputs
+    (the config-5 per-shard path). Grid is (y blocks, x steps) — x INNER so
+    the x-ring stays valid within each y row; the window/output compute
+    redundancy drops from (xb+2h)(yb+2·8)/(xb·yb) ≈ 2.44 at (16,32) to
+    (xb+4)(yb+16)/(xb·yb) ≈ 1.88, and the x-conv reads ring rows instead
+    of a zero-bordered restage. The output block's warp rows (needed for
+    the update u' = u − rate·g) are exactly the rows the PREVIOUS step's
+    term window loaded — block i−2's compute window at step i−1 — and the
+    double buffer still holds that window, so no extra DMA is needed. DMA
+    offsets: x rides the leading dim (arbitrary); y offsets are
+    sublane-aligned as in ``_fused_kernel_tiled``.
+    """
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    nx = pl.num_programs(1)  # x_len // xb + 2 (two edge steps)
+    k_lin = j * nx + i
+
+    xl, yl, zsz = warped_hbm.shape
+    r = len(taps) // 2
+    kt = len(taps)
+    xwp = min(xb + 4, xl)
+    yw = min(yb + 2 * _YH, yl)
+    n_blocks = x_len // xb
+    off_lo = max(0, min(x_lo - r - 2, xl - xwp))
+    ts_lo = min(max(x_lo - r - off_lo, 0), xwp - r)
+    t0_hi = x_lo + x_len
+    off_hi = max(0, min(t0_hi - 2, xl - xwp))
+    ts_hi = min(max(t0_hi - off_hi, 0), xwp - r)
+
+    def xoff(ii):
+        t0 = x_lo + (ii - 1) * xb
+        return jnp.where(
+            ii == 0,
+            off_lo,
+            jnp.where(
+                ii == nx - 1, off_hi, jnp.clip(t0 - 2, 0, xl - xwp)
+            ),
+        )
+
+    def yoff(jj):
+        return pl.multiple_of(
+            jnp.clip(y_lo + jj * yb - _YH, 0, yl - yw), 8
+        )
+
+    def dmas(lin):
+        jj = lin // nx
+        ii = lin - jj * nx
+        ox = xoff(ii)
+        oy = yoff(jj)
+        s2 = jax.lax.rem(lin, 2)  # w/c buffer + semaphore slot
+        s3 = jax.lax.rem(lin, 3)  # warp buffer slot (triple)
+        ds = [
+            pltpu.make_async_copy(
+                warped_hbm.at[pl.ds(ox, xwp), pl.ds(oy, yw), :],
+                wbuf.at[s2], sems.at[s2, 0],
+            ),
+            pltpu.make_async_copy(
+                canon_hbm.at[pl.ds(ox, xwp), pl.ds(oy, yw), :],
+                cbuf.at[s2], sems.at[s2, 1],
+            ),
+        ]
+        for c in range(3):
+            ds.append(
+                pltpu.make_async_copy(
+                    warp_hbm.at[c, pl.ds(ox, xwp), pl.ds(oy, yw), :],
+                    ubuf.at[s3, c], sems.at[s2, 2 + c],
+                )
+            )
+        return ds
+
+    slot = jax.lax.rem(k_lin, 2)
+    slot3 = jax.lax.rem(k_lin, 3)
+
+    @pl.when(k_lin == 0)
+    def _():
+        for dma in dmas(k_lin):
+            dma.start()
+
+    # Prefetch next step's windows under this step's compute; this step's
+    # own copies were issued last step.
+    @pl.when(k_lin + 1 < pl.num_programs(0) * nx)
+    def _():
+        for dma in dmas(k_lin + 1):
+            dma.start()
+
+    for dma in dmas(k_lin):
+        dma.wait()
+
+    ox = xoff(i)
+    oy = yoff(j)
+    sly = pl.multiple_of(y_lo + j * yb - oy, 8)
+    t0_i = x_lo + (i - 1) * xb
+    is_lo = i == 0
+    is_hi = i == nx - 1
+    edge = is_lo | is_hi
+    ts = t0_i - ox
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (xwp, 1, 1), 0)
+    brow = rows + ox
+    grow = brow + meta_ref[0]
+    gend = grow - meta_ref[1]
+    is0 = grow == 0
+    isn = gend == 0
+    yrows = jax.lax.broadcasted_iota(jnp.int32, (1, yw, 1), 1)
+    gy = yrows + (oy + meta_ref[2])
+    gy_end = gy - meta_ref[3]
+    y_first = gy == 0
+    y_last = gy_end == 0
+    zv = jax.lax.broadcasted_iota(jnp.int32, (1, 1, zsz), 2)
+    z_first, z_last = zv == 0, zv == zsz - 1
+    zve = zv - (zsz - 1)
+
+    msk = (
+        (rows >= ts) & (rows < ts + xb)
+        & (brow >= x_lo) & (brow < x_lo + x_len)
+        & jnp.logical_not(edge)
+        & (yrows >= sly) & (yrows < sly + yb)
+    )
+
+    def isum(a):
+        return jnp.sum(jnp.where(msk, a, 0.0))
+
+    dd, lap3 = _make_derivs(is0, isn, y_first, y_last, z_first, z_last)
+
+    w = wbuf[slot]
+    c = cbuf[slot]
+    u = [ubuf[slot3, cc] for cc in range(3)]
+
+    total, e_data, e_smooth, e_ls = _assemble_terms(
+        w, c, u, dd, lap3, isum,
+        w_data=w_data, w_smooth=w_smooth, w_ls=w_ls,
+        killing=killing, gamma=gamma, band_union=band_union,
+    )
+
+    # ---- ring write (see _fused_kernel_reuse) -------------------------------
+    slot_r = jax.lax.rem(i, 3) * xb
+
+    @pl.when(jnp.logical_not(edge))
+    def _():
+        if conv_local_x:
+            lo_b, hi_b = x_lo, x_lo + x_len - 1
+            need = (t0_i < lo_b) | (t0_i + xb - 1 > hi_b)
+            vrow = (brow >= lo_b) & (brow <= hi_b)
+        else:
+            need = (t0_i + meta_ref[0] < 0) | (
+                t0_i + xb - 1 + meta_ref[0] > meta_ref[1]
+            )
+            vrow = (grow >= 0) & (gend <= 0)
+        for k in range(3):
+            stage_ref[:] = total[k]
+            ring_ref[k, pl.ds(slot_r, xb)] = stage_ref[pl.ds(ts, xb)]
+
+        @pl.when(need)
+        def _():
+            for k in range(3):
+                stage_ref[:] = jnp.where(vrow, total[k], 0.0)
+                ring_ref[k, pl.ds(slot_r, xb)] = stage_ref[pl.ds(ts, xb)]
+
+    @pl.when(is_lo)
+    def _():
+        tail = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0)
+        trow = tail + (x_lo - r)
+        if conv_local_x:
+            vtail = jnp.zeros((r, 1, 1), jnp.bool_)
+        else:
+            tg = trow + meta_ref[0]
+            vtail = (tg >= 0) & (tg <= meta_ref[1])
+        for k in range(3):
+            stage_ref[:] = total[k]
+            ring_ref[k, xb - r : xb] = jnp.where(
+                vtail, stage_ref[ts_lo : ts_lo + r], 0.0
+            )
+
+    @pl.when(is_hi)
+    def _():
+        tail = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0)
+        trow = tail + t0_hi
+        if conv_local_x:
+            vtail = jnp.zeros((r, 1, 1), jnp.bool_)
+        else:
+            tg = trow + meta_ref[0]
+            vtail = (tg >= 0) & (tg <= meta_ref[1])
+        for k in range(3):
+            stage_ref[:] = total[k]
+            ring_ref[k, pl.ds(slot_r, r)] = jnp.where(
+                vtail, stage_ref[ts_hi : ts_hi + r], 0.0
+            )
+
+    # ---- output phase: block i−2 of this y row ------------------------------
+    @pl.when(i > 1)
+    def _():
+        slot_l = jax.lax.rem(i - 2, 3) * xb
+        slot_m = jax.lax.rem(i - 1, 3) * xb
+        # The output block's warp rows: the previous step's term window
+        # (retained by the triple buffer; the in-flight prefetch writes
+        # slot (k+1) mod 3 ≠ (k−1) mod 3) was anchored for exactly this
+        # block — its first output row sits at window row ts_prev.
+        prev = jax.lax.rem(k_lin - 1, 3)
+        t0_prev = x_lo + (i - 2) * xb
+        ts_prev = t0_prev - xoff(i - 1)
+        neg_rate = -rate_ref[0]
+        ul2 = None
+        for k in range(3):
+            conv_ref[:r] = ring_ref[k, pl.ds(slot_l + xb - r, r)]
+            conv_ref[r : r + xb] = ring_ref[k, pl.ds(slot_m, xb)]
+            conv_ref[r + xb :] = ring_ref[k, pl.ds(slot_r, r)]
+            a = None
+            for t in range(kt):
+                term = taps[kt - 1 - t] * conv_ref[t : t + xb]
+                a = term if a is None else a + term
+            a = _conv_lane(a, 1, gy, gy_end, taps)
+            a = _conv_lane(a, 2, zv, zve, taps)
+            stage_ref[: xb] = neg_rate * a
+            upd = stage_ref[pl.ds(0, xb), pl.ds(sly, yb), :]
+            u_out = ubuf[prev, k, pl.ds(ts_prev, xb), pl.ds(sly, yb), :]
+            new_u = u_out + upd
+            out_ref[k] = new_u
+            mxu = jnp.max(jnp.abs(new_u))
+            stats_ref[5 + k] = jnp.where(
+                k_lin == 2, mxu, jnp.maximum(stats_ref[5 + k], mxu)
+            )
+            sq = upd * upd
+            ul2 = sq if ul2 is None else ul2 + sq
+        ul = jnp.sqrt(ul2)
+        sum_ul = jnp.sum(ul)
+        max_ul = jnp.max(ul)
+        first_out = k_lin == 2
+        stats_ref[3] = jnp.where(first_out, sum_ul, stats_ref[3] + sum_ul)
+        stats_ref[4] = jnp.where(
+            first_out, max_ul, jnp.maximum(stats_ref[4], max_ul)
+        )
+
+    first = k_lin == 0
+    stats_ref[0] = jnp.where(first, e_data, stats_ref[0] + e_data)
+    stats_ref[1] = jnp.where(first, e_smooth, stats_ref[1] + e_smooth)
+    stats_ref[2] = jnp.where(first, e_ls, stats_ref[2] + e_ls)
+
+
 _RING_SLOTS = 3
 
 
@@ -869,6 +1140,44 @@ def _pick_tiles(
     return best[1], best[2]
 
 
+def _pick_tiles_reuse(
+    x_len: int, xl: int, y_len: int, yl: int, z: int, r: int
+):
+    """(xb, yb) for the tiled term-row-reuse kernel: temporaries scale with
+    xb+4 (not xb+2h) and the ring/staging join the budget."""
+    best = None
+    for yb in (128, 64, 32, 16, 8):
+        if y_len % yb:
+            continue
+        yw = min(yb + 2 * _YH, yl)
+        plane = yw * z * 4
+        for xb in (32, 16, 8):
+            if x_len % xb or xb < 2 * r:
+                continue
+            xwp = min(xb + 4, xl)
+            vmem = (
+                _TEMP_ROWSETS * xwp * plane  # straight-line temporaries
+                + 2 * 2 * xwp * plane  # double-buffered warped/canon
+                + 3 * 3 * xwp * plane  # triple-buffered warp windows
+                + 2 * 3 * xb * yb * z * 4  # pipelined output block
+                + xwp * plane  # stage
+                + 3 * _RING_SLOTS * xb * plane  # term ring
+                + (xb + 2 * r) * plane  # conv staging
+            )
+            if vmem > _VMEM_BUDGET:
+                continue
+            steps = (x_len // xb + 2) * (y_len // yb)
+            key = (steps, -xb * yb)
+            if best is None or key < best[0]:
+                best = (key, xb, yb)
+    if best is None:
+        raise ValueError(
+            f"block ({x_len}/{xl}, {y_len}/{yl}, {z}) does not fit the "
+            "tiled reuse kernel's VMEM plan"
+        )
+    return best[1], best[2]
+
+
 def _shape_ok(shape) -> bool:
     if len(shape) != 3:
         return False
@@ -919,7 +1228,14 @@ def fused_supported(
         _pick_tiles(x_len, x, y_len, y, z, h, r)
         return True
     except ValueError:
-        return False
+        pass
+    if r:
+        try:
+            _pick_tiles_reuse(x_len, x, y_len, y, z, r)
+            return True
+        except ValueError:
+            pass
+    return False
 
 
 @functools.partial(
@@ -928,7 +1244,7 @@ def fused_supported(
         "w_data", "w_smooth", "w_ls", "killing", "gamma", "band_union",
         "taps", "interpret", "x_global", "x_lo", "x_len",
         "y_global", "y_lo", "y_len", "conv_local_x", "force_tiled",
-        "tile_override", "row_reuse",
+        "tile_override", "row_reuse", "force_tiled_reuse",
     ),
 )
 def fused_gradient_update(
@@ -957,6 +1273,7 @@ def fused_gradient_update(
     force_tiled: bool = False,
     tile_override: tuple | None = None,
     row_reuse: bool = True,
+    force_tiled_reuse: bool = False,
 ):
     """One fused solver step after the resample: returns ``(new_warp_cm,
     FusedStats)``.
@@ -1005,7 +1322,7 @@ def fused_gradient_update(
 
     whole = False
     reuse = False
-    if not force_tiled and y_lo == 0 and y_len == yt:
+    if not (force_tiled or force_tiled_reuse) and y_lo == 0 and y_len == yt:
         # Prefer the term-row-reuse lowering when the Sobolev filter is on:
         # same exactness contract, no halo-row recompute (~38% less term +
         # conv work at xb=16).
@@ -1083,42 +1400,87 @@ def fused_gradient_update(
                 pltpu.VMEM((xw + 2 * r, yt, z), jnp.float32)
             )
     else:
-        xb, yb = tile_override or _pick_tiles(x_len, xt, y_len, yt, z, h, r)
-        xw = min(xb + 2 * h, xt)
-        yw = min(yb + 2 * _YH, yt)
-        kern = functools.partial(
-            _fused_kernel_tiled,
-            xb=xb, yb=yb, h=h, x_lo=x_lo, x_len=x_len, y_lo=y_lo,
-            w_data=w_data, w_smooth=w_smooth, w_ls=w_ls,
-            killing=killing, gamma=gamma, band_union=band_union, taps=taps,
-            conv_local_x=conv_local_x,
-        )
-        grid = (x_len // xb, y_len // yb)
+        tiled_reuse = False
+        if force_tiled_reuse:
+            xb, yb = tile_override or _pick_tiles_reuse(
+                x_len, xt, y_len, yt, z, r
+            )
+            tiled_reuse = True
+        elif taps and row_reuse and tile_override is None:
+            try:
+                xb, yb = _pick_tiles_reuse(x_len, xt, y_len, yt, z, r)
+                tiled_reuse = True
+            except ValueError:
+                pass
+        if not tiled_reuse:
+            xb, yb = tile_override or _pick_tiles(
+                x_len, xt, y_len, yt, z, h, r
+            )
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
-        out_specs = (
-            pl.BlockSpec((3, xb, yb, z), lambda i, j, *_: (0, i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        )
         out_shape = (
             jax.ShapeDtypeStruct((3, x_len, y_len, z), warped.dtype),
             jax.ShapeDtypeStruct((8,), jnp.float32),
         )
-        scratch_shapes = [
-            pltpu.VMEM((2, xw, yw, z), jnp.float32),
-            pltpu.VMEM((2, xw, yw, z), jnp.float32),
-            pltpu.VMEM((2, 3, xw, yw, z), jnp.float32),
-            pltpu.VMEM((xw, yw, z), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 5)),
-        ]
-        if taps:
-            scratch_shapes.append(
-                pltpu.VMEM((xw + 2 * r, yw, z), jnp.float32)
+        yw = min(yb + 2 * _YH, yt)
+        if tiled_reuse:
+            xwp = min(xb + 4, xt)
+            kern = functools.partial(
+                _fused_kernel_tiled_reuse,
+                xb=xb, yb=yb, x_lo=x_lo, x_len=x_len, y_lo=y_lo,
+                w_data=w_data, w_smooth=w_smooth, w_ls=w_ls,
+                killing=killing, gamma=gamma, band_union=band_union,
+                taps=taps, conv_local_x=conv_local_x,
             )
+            grid = (y_len // yb, x_len // xb + 2)
+            out_specs = (
+                pl.BlockSpec(
+                    (3, xb, yb, z),
+                    lambda j, i, *_: (0, jnp.maximum(i - 2, 0), j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            )
+            scratch_shapes = [
+                pltpu.VMEM((2, xwp, yw, z), jnp.float32),  # warped dbuf
+                pltpu.VMEM((2, xwp, yw, z), jnp.float32),  # canon dbuf
+                pltpu.VMEM((3, 3, xwp, yw, z), jnp.float32),  # warp tbuf
+                pltpu.VMEM((xwp, yw, z), jnp.float32),  # stage
+                pltpu.VMEM(
+                    (3, _RING_SLOTS * xb, yw, z), jnp.float32
+                ),  # ring
+                pltpu.VMEM((xb + 2 * r, yw, z), jnp.float32),  # conv
+                pltpu.SemaphoreType.DMA((2, 5)),
+            ]
+        else:
+            xw = min(xb + 2 * h, xt)
+            kern = functools.partial(
+                _fused_kernel_tiled,
+                xb=xb, yb=yb, h=h, x_lo=x_lo, x_len=x_len, y_lo=y_lo,
+                w_data=w_data, w_smooth=w_smooth, w_ls=w_ls,
+                killing=killing, gamma=gamma, band_union=band_union,
+                taps=taps, conv_local_x=conv_local_x,
+            )
+            grid = (x_len // xb, y_len // yb)
+            out_specs = (
+                pl.BlockSpec((3, xb, yb, z), lambda i, j, *_: (0, i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            )
+            scratch_shapes = [
+                pltpu.VMEM((2, xw, yw, z), jnp.float32),
+                pltpu.VMEM((2, xw, yw, z), jnp.float32),
+                pltpu.VMEM((2, 3, xw, yw, z), jnp.float32),
+                pltpu.VMEM((xw, yw, z), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 5)),
+            ]
+            if taps:
+                scratch_shapes.append(
+                    pltpu.VMEM((xw + 2 * r, yw, z), jnp.float32)
+                )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -190,7 +190,7 @@ def test_tiled_matches_golden(rng, w_smooth, w_ls, killing, sobolev,
     )
 
 
-@pytest.mark.parametrize("kernel_kind", ["whole", "tiled"])
+@pytest.mark.parametrize("kernel_kind", ["whole", "tiled", "tiled_reuse"])
 @pytest.mark.parametrize("shard", [0, 1, 2])  # global-first, middle, last
 def test_sharded_block_windows_match_golden(rng, kernel_kind, shard):
     """Per-shard invocation (halo rows + x_lo/x_len + traced x_offset) must
@@ -227,7 +227,12 @@ def test_sharded_block_windows_match_golden(rng, kernel_kind, shard):
         taps=taps, interpret=True,
         x_offset=lo - h, x_global=X, x_lo=h, x_len=nblk,
         force_tiled=(kernel_kind == "tiled"),
-        tile_override=(4, 8) if kernel_kind == "tiled" else None,
+        force_tiled_reuse=(kernel_kind == "tiled_reuse"),
+        tile_override=(
+            (4, 8) if kernel_kind == "tiled"
+            else (8, 8) if kernel_kind == "tiled_reuse"
+            else None
+        ),
         **kw,
     )
     np.testing.assert_allclose(
@@ -320,4 +325,47 @@ def test_solver_with_fused_kernel_matches_golden(rng):
         got.telemetry.max_warp_update,
         ref.telemetry.max_warp_update,
         rtol=2e-4, atol=1e-8,
+    )
+
+
+@pytest.mark.parametrize("w_smooth,w_ls,killing,sobolev,band_union", CASES)
+def test_tiled_reuse_matches_golden(rng, w_smooth, w_ls, killing, sobolev,
+                                    band_union):
+    """The tiled term-row-reuse lowering == golden, with a grid that tiles
+    both axes (x ring crosses multiple blocks, skewed edge steps fire)."""
+    if not sobolev:
+        pytest.skip("row reuse exists only for the Sobolev path")
+    shape = (16, 32, 128)
+    canonical, warped, warp = _fields(shape, rng)
+    rate = jnp.float32(0.3)
+    kernel = jnp.asarray(sobolev_ops.generate_1d_sobolev_kernel(7, 0.1))
+    taps = sobolev_taps(7, 0.1)
+
+    ref_warp, ref_stats = _golden(
+        warped, canonical, warp, rate,
+        w_data=1.0, w_smooth=w_smooth, w_ls=w_ls, killing=killing,
+        gamma=0.1, band_union=band_union, kernel=kernel,
+    )
+    got_warp, got_stats = fused_gradient_update(
+        warped, canonical, jnp.moveaxis(warp, -1, 0), rate,
+        w_data=1.0, w_smooth=w_smooth, w_ls=w_ls, killing=killing,
+        gamma=0.1, band_union=band_union, taps=taps, interpret=True,
+        force_tiled_reuse=True, tile_override=(8, 8),
+    )
+    got_warp = jnp.moveaxis(got_warp, 0, -1)
+    np.testing.assert_allclose(got_warp, ref_warp, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        got_stats.data_energy, ref_stats.data_energy, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        got_stats.smoothing_energy, ref_stats.smoothing_energy, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        got_stats.level_set_energy, ref_stats.level_set_energy, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        got_stats.max_update, ref_stats.max_update, rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        got_stats.max_abs_u, ref_stats.max_abs_u, rtol=1e-4, atol=1e-7
     )
