@@ -34,10 +34,11 @@ SHARD_ITER = 30
 
 FUSE_FRAMES = 8  # steady-state fps from 7 intervals (r3 used 4 → noisy)
 FUSE_SOLVE_ITER = 40
-# Fusion resample clamp: matches the config4 preset's measured-motion K=6
-# (experiments/config4_accuracy.py: bit-identical to K=10, i.e. unclamped;
-# the r3 bench ran K=2, which frames 5+ measurably exceeded).
-FUSE_K = 6
+# Fusion resample clamp: the config4 preset's measured-motion per-axis
+# clamp (experiments/config4_accuracy.py: K=6 is bit-identical to K=10,
+# i.e. unclamped; the r3 bench ran K=2, which frames 5+ measurably
+# exceeded; per-axis (3,2,6) covers the same motion at K=2-class cost).
+FUSE_K = (3, 2, 6)
 
 
 def _build_fields(shape):

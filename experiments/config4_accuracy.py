@@ -78,6 +78,10 @@ def main():
     a, reports = run_pipeline(k=k_preset)
     c, _ = run_pipeline(k=k_preset + 4)
     b, _ = run_pipeline(k=None)
+    # Per-axis clamp (the production config4 preset): must match the
+    # scalar-K=6 run exactly — both cover the measured (2.5, 1.3, 5.3)
+    # motion, and the per-axis variant does it at K=2-class cost.
+    pa, _ = run_pipeline(k=(3, 2, 6))
     out = {
         "config": "config4 fusion accuracy, 128^3, 8 frames, 40 iter/frame",
         "k_preset": k_preset,
@@ -88,6 +92,7 @@ def main():
         "preset_vs_golden": band_diff(a, b),
         "preset_vs_headroom": band_diff(a, c),
         "headroom_vs_golden": band_diff(c, b),
+        "per_axis_326_vs_scalar_6": band_diff(pa, a),
     }
     print(json.dumps(out))
 

@@ -61,8 +61,8 @@ class FrameReport(NamedTuple):
     # resampled with (voxel units) — the displacement-contract observable.
     max_abs_displacement: Tuple[float, ...] = ()
     # The Pallas clamp the frame actually ran under (0 = clamped kernel not
-    # engaged; exact XLA gather).
-    pallas_max_displacement: int = 0
+    # engaged; exact XLA gather). Scalar, or a per-axis (kx, ky, kz) tuple.
+    pallas_max_displacement: int | tuple = 0
     # Contract-violation messages that survived auto-raise (empty = clean).
     contract_violations: Tuple[str, ...] = ()
 
@@ -123,9 +123,20 @@ def pallas_resample_engaged(solver: SolverParams, field) -> bool:
     return pallas_resample_supported(field, solver.pallas_interpret)
 
 
-def _raised_k(md, k: int) -> int | None:
-    """New clamp if measured per-axis max |u| exceeded K, else None."""
-    worst = float(np.max(np.asarray(md)))
+def _raised_k(md, k) -> tuple | int | None:
+    """New clamp if measured per-axis max |u| exceeded the (possibly
+    per-axis) K, else None. A scalar K raises to a scalar; a per-axis K
+    raises only the violated axes."""
+    md = np.asarray(md)
+    if isinstance(k, (tuple, list)):
+        ks = np.asarray(k, dtype=np.float64)[: md.shape[0]]
+        if (md <= ks).all():
+            return None
+        return tuple(
+            int(math.ceil(m)) + 1 if m > kv else int(kv)
+            for m, kv in zip(md, ks)
+        )
+    worst = float(np.max(md))
     if worst <= k:
         return None
     return int(math.ceil(worst)) + 1
@@ -146,9 +157,10 @@ def _frame_contract(res, solver: SolverParams, k_used: int, name: str,
 
 
 def _fetch_stats(res, state: FusionState):
-    """One batched host fetch per frame (every dispatch costs the remote-TPU
-    round trip): int stats int32 (band counts at 512³ overflow f32's 2^24
-    integer range), float stats f32."""
+    """ONE host fetch per frame (every transfer costs the remote-TPU round
+    trip, ~24 ms): the int32 stats (band counts at 512³ overflow f32's 2^24
+    integer range, so they must not round-trip through float) are
+    bitcast into the f32 vector and re-bitcast on the host."""
     ints = jnp.stack(
         [
             res.iterations.astype(jnp.int32),
@@ -157,16 +169,17 @@ def _fetch_stats(res, state: FusionState):
             ).astype(jnp.int32),
         ]
     )
-    floats = jnp.concatenate(
+    packed = jnp.concatenate(
         [
+            jax.lax.bitcast_convert_type(ints, jnp.float32),
             jnp.take(
                 res.telemetry.data_energy, jnp.maximum(res.iterations - 1, 0)
             )[None],
             jnp.asarray(res.max_abs_displacement),
         ]
     )
-    i, f = jax.device_get((ints, floats))
-    return np.asarray(i), np.asarray(f)
+    host = np.asarray(packed)
+    return host[:2].view(np.int32), host[2:]
 
 
 def fuse_frame(
@@ -227,8 +240,8 @@ def fuse_frame(
         if new_k is None or not config.auto_raise_displacement or attempt:
             break
         _log.warning(
-            "frame %d: measured max |u| %s exceeds the Pallas clamp K=%d — "
-            "redoing the frame with K=%d",
+            "frame %d: measured max |u| %s exceeds the Pallas clamp K=%s — "
+            "redoing the frame with K=%s",
             frame_index, np.round(md, 3).tolist(), k_used, new_k,
         )
         solver = solver.replace(pallas_max_displacement=new_k)
@@ -383,7 +396,7 @@ def fuse_sequence_sharded(
                 break
             _log.warning(
                 "sharded fusion frame %d: measured max |u| %s exceeds the "
-                "Pallas clamp K=%d — redoing the frame with K=%d",
+                "Pallas clamp K=%s — redoing the frame with K=%s",
                 t, np.round(md, 3).tolist(), k_used, new_k,
             )
             solver = solver.replace(pallas_max_displacement=new_k)

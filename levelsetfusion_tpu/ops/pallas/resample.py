@@ -58,6 +58,23 @@ MAX_DISPLACEMENT = 2
 _LANE = 128
 
 
+def k3(max_displacement):
+    """Normalize the static clamp to per-axis ``(kx, ky, kz)``.
+
+    Scalar K keeps the historical isotropic semantics. A per-axis tuple
+    prices each axis separately — the y clamp sets the stacked-copy count
+    (2·ky+2, the dominant HBM/VMEM term), the x clamp the window width,
+    and the z clamp only the multi-slab gather reach — so anisotropic
+    motion (e.g. config-4's (2.5, 1.3, 5.3)-voxel measured max) pays for
+    the axes that need it instead of cubing the worst one.
+    """
+    if isinstance(max_displacement, (tuple, list)):
+        kx, ky, kz = (int(v) for v in max_displacement)
+        return kx, ky, kz
+    k = int(max_displacement)
+    return k, k, k
+
+
 def _tent(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
@@ -96,12 +113,13 @@ def _resample3d_kernel(
 
 
 def _resample3d_body(s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, r):
-    n = 2 * k + 2
-    kf = float(k)
+    kx, ky, _ = k3(k)
+    n_x = 2 * kx + 2
+    n_y = 2 * ky + 2
     # warp arrives component-major (3, x, y, z): a trailing component dim
     # would be lane-padded 3 -> 128 in VMEM (42x window DMA inflation).
-    ux = jnp.clip(warp_ref[0, 0], -kf, kf)
-    uy = jnp.clip(warp_ref[1, 0], -kf, kf)
+    ux = jnp.clip(warp_ref[0, 0], -float(kx), float(kx))
+    uy = jnp.clip(warp_ref[1, 0], -float(ky), float(ky))
     uz = warp_ref[2, 0]
     nz = jnp.floor(uz)
     fz = uz - nz
@@ -113,9 +131,10 @@ def _resample3d_body(s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, r):
     w1 = jnp.where((z0 + 1 >= 0) & (z0 + 1 < _LANE), fz, 0.0)
     # Static-shift tent planes (no dynamic scalars in vector math — the 7.6
     # µs/op scalar→vector stall; see module docstring).
-    for c in range(n):
-        tx_ref[c] = _tent(ux - (float(c) - kf))
-        ty_ref[c] = _tent(uy - (float(c) - kf))
+    for c in range(n_x):
+        tx_ref[c] = _tent(ux - (float(c) - float(kx)))
+    for c in range(n_y):
+        ty_ref[c] = _tent(uy - (float(c) - float(ky)))
 
     # Active-shift ranges: tent(u − (c − k)) is nonzero only for the two
     # shifts bracketing u, so per block only shifts in
@@ -123,10 +142,10 @@ def _resample3d_body(s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, r):
     # pair has an exactly-zero weight plane. Smooth solver warps activate
     # ~2×2 of the (2K+2)² pairs; the loop bounds are dynamic scalars, which
     # is fine (they never enter vector math).
-    lo_x = jnp.floor(jnp.min(ux)).astype(jnp.int32) + k
-    hi_x = jnp.floor(jnp.max(ux)).astype(jnp.int32) + k + 1
-    lo_y = jnp.floor(jnp.min(uy)).astype(jnp.int32) + k
-    hi_y = jnp.floor(jnp.max(uy)).astype(jnp.int32) + k + 1
+    lo_x = jnp.floor(jnp.min(ux)).astype(jnp.int32) + kx
+    hi_x = jnp.floor(jnp.max(ux)).astype(jnp.int32) + kx + 1
+    lo_y = jnp.floor(jnp.min(uy)).astype(jnp.int32) + ky
+    hi_y = jnp.floor(jnp.max(uy)).astype(jnp.int32) + ky + 1
     cnt_x = hi_x - lo_x + 1
     cnt_y = hi_y - lo_y + 1
 
@@ -181,25 +200,27 @@ def _resample3d_kernel_mz(
 
 
 def _resample3d_body_mz(s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, m, zb, r):
-    n = 2 * k + 2
+    kx, ky, kz = k3(k)
+    n_x = 2 * kx + 2
+    n_y = 2 * ky + 2
     ws = min(m, 3)
-    kf = float(k)
 
-    ux = jnp.clip(warp_ref[0, 0], -kf, kf)
-    uy = jnp.clip(warp_ref[1, 0], -kf, kf)
-    uz = jnp.clip(warp_ref[2, 0], -kf, kf)
+    ux = jnp.clip(warp_ref[0, 0], -float(kx), float(kx))
+    uy = jnp.clip(warp_ref[1, 0], -float(ky), float(ky))
+    uz = jnp.clip(warp_ref[2, 0], -float(kz), float(kz))
     nz = jnp.floor(uz)
     fz = uz - nz
     zrel = jax.lax.broadcasted_iota(jnp.int32, uz.shape, 1) + nz.astype(jnp.int32)
 
-    for c in range(n):
-        tx_ref[c] = _tent(ux - (float(c) - kf))
-        ty_ref[c] = _tent(uy - (float(c) - kf))
+    for c in range(n_x):
+        tx_ref[c] = _tent(ux - (float(c) - float(kx)))
+    for c in range(n_y):
+        ty_ref[c] = _tent(uy - (float(c) - float(ky)))
 
-    lo_x = jnp.floor(jnp.min(ux)).astype(jnp.int32) + k
-    hi_x = jnp.floor(jnp.max(ux)).astype(jnp.int32) + k + 1
-    lo_y = jnp.floor(jnp.min(uy)).astype(jnp.int32) + k
-    hi_y = jnp.floor(jnp.max(uy)).astype(jnp.int32) + k + 1
+    lo_x = jnp.floor(jnp.min(ux)).astype(jnp.int32) + kx
+    hi_x = jnp.floor(jnp.max(ux)).astype(jnp.int32) + kx + 1
+    lo_y = jnp.floor(jnp.min(uy)).astype(jnp.int32) + ky
+    hi_y = jnp.floor(jnp.max(uy)).astype(jnp.int32) + ky + 1
     cnt_x = hi_x - lo_x + 1
     cnt_y = hi_y - lo_y + 1
 
@@ -219,10 +240,11 @@ def _resample3d_body_mz(s_ref, warp_ref, out_ref, tx_ref, ty_ref, k, m, zb, r):
             ok1 = ok1 & (z1 < ws * _LANE)
         w0 = jnp.where(ok0, 1.0 - fz, 0.0)
         w1 = jnp.where(ok1, fz, 0.0)
-        # Slabs statically reachable from [shift − k, shift + 127 + k + 1].
+        # Slabs statically reachable from [shift − kz, shift + 127 + kz + 1].
         slabs = [
             s for s in range(ws)
-            if shift - k <= (s + 1) * _LANE - 1 and shift + _LANE + k >= s * _LANE
+            if shift - kz <= (s + 1) * _LANE - 1
+            and shift + _LANE + kz >= s * _LANE
         ]
 
         def gather_window(rows, zi):
@@ -283,22 +305,24 @@ def _pick_block(size: int, candidates) -> int:
 _WINDOW_BUDGET = 55 * 1024 * 1024
 
 
-def _chunking(x_size: int, m: int = 1, n: int | None = None,
+def _chunking(x_size: int, m: int = 1, n: tuple | int | None = None,
               yb: int | None = None) -> int:
     # Multi-slab windows are ws=3 lanes wide — halve the x chunk to fit VMEM.
     cands = (128, 64, 32, 16, 8, 4, 2, 1) if m == 1 else (64, 32, 16, 8, 4, 2, 1)
-    if n is not None and n > 8:
-        # Large displacement windows (K > 3): big x chunks are strictly
+    if n is not None:
+        n_x, n_y = (n, n) if isinstance(n, int) else n
+    if n is not None and n_x > 8:
+        # Large displacement windows (Kx > 3): big x chunks are strictly
         # worse — measured at 128³/K=6, xb=32 vs xb=8 is 520 s vs 67 s of
         # Mosaic compile AND 2.97 vs 2.69 ms/iter of solve time (the wide
-        # (xb+n−1)-row stacked windows blow up both the compiler and the
+        # (xb+n_x−1)-row stacked windows blow up both the compiler and the
         # VMEM working set).
         cands = tuple(c for c in cands if c <= 8)
     if n is not None and yb is not None:
         ws = 1 if m == 1 else min(m, 3)
         fitting = tuple(
             c for c in cands
-            if 2 * n * (c + n - 1) * yb * ws * _LANE * 4 <= _WINDOW_BUDGET
+            if 2 * n_y * (c + n_x - 1) * yb * ws * _LANE * 4 <= _WINDOW_BUDGET
         ) or cands[-1:]
         cands = fitting
     xb = _pick_block(x_size, cands)
@@ -316,21 +340,23 @@ def prepare_field(
     reuse the result every iteration (the rebuild costs ~3.7 ms/iter at 128³
     otherwise; XLA does not hoist it out of ``while_loop``).
     """
-    k = max_displacement
-    n = 2 * k + 2
+    kx, ky, _ = k3(max_displacement)
+    n_x = 2 * kx + 2
+    n_y = 2 * ky + 2
     assert field.ndim == 3, field.shape
     x_size, y_size, z_size = field.shape
     xb = _chunking(x_size, z_size // _LANE)
     # Pad x/y by (k, k+1) with the truncation fill; padded row (i + c) along
     # x (or a y-copy shifted by c) = original row (i + c - k).
     padded = jnp.pad(
-        field, ((k, k + 1), (k, k + 1), (0, 0)), constant_values=TRUNCATION_FILL
+        field, ((kx, kx + 1), (ky, ky + 1), (0, 0)),
+        constant_values=TRUNCATION_FILL,
     )
-    # Stacked y-shifted copies: S[cy, x, y, z] = original[x - k, y + cy - k, z].
-    stacked = jnp.stack([padded[:, cy : cy + y_size, :] for cy in range(n)])
+    # Stacked y-shifted copies: S[cy, x, y, z] = original[x - kx, y + cy - ky, z].
+    stacked = jnp.stack([padded[:, cy : cy + y_size, :] for cy in range(n_y)])
     # _chunking only returns divisors of x_size, so the stacked x extent
-    # (x_size + n - 1) already covers every chunk window of size xb + n - 1.
-    assert stacked.shape[1] == x_size + n - 1, (stacked.shape, x_size, xb)
+    # (x_size + n_x - 1) already covers every chunk window of size xb + n_x - 1.
+    assert stacked.shape[1] == x_size + n_x - 1, (stacked.shape, x_size, xb)
     return stacked
 
 
@@ -355,7 +381,7 @@ def compute_skip_flags(
     slab's ws-slab gather window. Loop-invariant (depends only on the live
     field): compute once per solve.
     """
-    n = 2 * max_displacement + 2
+    n_x = 2 * k3(max_displacement)[0] + 2
     y_size = stacked.shape[2]
     z_size = stacked.shape[3]
     m = z_size // _LANE
@@ -369,7 +395,7 @@ def compute_skip_flags(
     # sliding min over the n-row x window.
     winmin = functools.reduce(
         jnp.minimum,
-        [blockmin[x_start + c : x_start + c + x_size] for c in range(n)]
+        [blockmin[x_start + c : x_start + c + x_size] for c in range(n_x)]
     )  # (x, y_blocks, m)
     if m == 1:
         return (winmin[..., 0].T >= TRUNCATION_FILL - 1e-6).astype(jnp.int32)
@@ -418,8 +444,9 @@ def warp_field_pallas_prepared(
     kernel wants and the fused gradient kernel produces) — skips the
     moveaxis.
     """
-    k = max_displacement
-    n = 2 * k + 2
+    k = k3(max_displacement)
+    n_x = 2 * k[0] + 2
+    n_y = 2 * k[1] + 2
     if component_major:
         x_size, y_size, z_size = warp.shape[1:]
     else:
@@ -432,10 +459,10 @@ def warp_field_pallas_prepared(
         yb = pick_y_block((x_size, y_size, z_size))  # auto: largest that divides
     if y_size % yb:
         raise ValueError(f"y extent {y_size} not divisible by y_block {yb}")
-    xb = _chunking(x_size, m, n, yb)
-    win = xb + n - 1
+    xb = _chunking(x_size, m, (n_x, n_y), yb)
+    win = xb + n_x - 1
     ws = min(m, 3)
-    field_ext = stacked.shape[1] - (n - 1)
+    field_ext = stacked.shape[1] - (n_x - 1)
     if x_start + x_size > field_ext:
         raise ValueError(
             f"x window [{x_start}, {x_start + x_size}) exceeds prepared "
@@ -458,7 +485,8 @@ def warp_field_pallas_prepared(
             # All-Element block: x window start advances by xb every xb
             # steps (so the big window DMAs once per chunk, not per step);
             # y/lane starts stay tile-aligned as Element requires.
-            (pl.Element(n), pl.Element(win), pl.Element(yb), pl.Element(_LANE)),
+            (pl.Element(n_y), pl.Element(win), pl.Element(yb),
+             pl.Element(_LANE)),
             lambda j, i, *_, xb=xb, yb=yb, xs=x_start: (0, (i // xb) * xb + xs, j * yb, 0),
             memory_space=pltpu.VMEM,
         )
@@ -481,7 +509,7 @@ def warp_field_pallas_prepared(
                 )
         grid = (m, y_size // yb, x_size)  # z-slab slowest
         s_spec = pl.BlockSpec(
-            (pl.Element(n), pl.Element(win), pl.Element(yb),
+            (pl.Element(n_y), pl.Element(win), pl.Element(yb),
              pl.Element(ws * _LANE)),
             lambda zb, j, i, *_, xb=xb, yb=yb, m=m, ws=ws, xs=x_start: (
                 0,
@@ -501,8 +529,8 @@ def warp_field_pallas_prepared(
         )
 
     scratch = [
-        pltpu.VMEM((n, yb, _LANE), jnp.float32),
-        pltpu.VMEM((n, yb, _LANE), jnp.float32),
+        pltpu.VMEM((n_x, yb, _LANE), jnp.float32),  # tent x planes
+        pltpu.VMEM((n_y, yb, _LANE), jnp.float32),  # tent y planes
     ]
     out_shape = jax.ShapeDtypeStruct((x_size, y_size, z_size), stacked.dtype)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)

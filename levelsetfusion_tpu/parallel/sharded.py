@@ -120,7 +120,12 @@ def _block_gradient(
             warp_field_pallas_prepared,
         )
 
-        kk = params.pallas_max_displacement
+        from levelsetfusion_tpu.ops.pallas.resample import k3
+
+        k_full = params.pallas_max_displacement
+        if isinstance(k_full, list):
+            k_full = tuple(k_full)
+        kx = k3(k_full)[0]
         # (prepare_field result, skip flags or None, kernel output x extent)
         stacked, flags, xe = prepared_live
         warp_k = jnp.pad(
@@ -129,11 +134,11 @@ def _block_gradient(
         out = warp_field_pallas_prepared(
             stacked,
             warp_k,
-            kk,
+            k_full,
             y_block=pick_y_block(warp_k.shape[:-1]),
             interpret=params.pallas_interpret,
             skip_flags=flags,
-            x_start=kk,  # output row j samples field row j + K + ux
+            x_start=kx,  # output row j samples field row j + Kx + ux
         )
         warped_ext = out[:m]
     else:
@@ -329,13 +334,16 @@ def pallas_block_supported(params: SolverParams, canonical, live_halo: int,
     stencil path, the full stencil+filter halo for the fused-kernel path) —
     the live halo must cover ghost + K + 1 rows.
     """
-    from levelsetfusion_tpu.ops.pallas.resample import pallas_resample_supported
+    from levelsetfusion_tpu.ops.pallas.resample import (
+        k3,
+        pallas_resample_supported,
+    )
 
-    kk = params.pallas_max_displacement
+    kx = k3(params.pallas_max_displacement)[0]
     return (
         params.use_pallas_resample
         and canonical.ndim == 3
-        and live_halo >= kk + ghost + 1
+        and live_halo >= kx + ghost + 1
         and pallas_resample_supported(canonical, params.pallas_interpret)
     )
 
@@ -361,11 +369,14 @@ def pallas_prep_extents(params: SolverParams, n_local: int, ghost: int = 2):
     """(kk, xe_raw, pallas_xe, pallas_field_ext) for the per-shard kernel.
 
     Kernel output extent: the m = n_local + 2·ghost kept rows rounded up to a
-    chunkable multiple of 8 (output row j samples field row j + K + ux via
-    x_start, so the field slice needs K rows before and K+1 after the
-    output window).
+    chunkable multiple of 8 (output row j samples field row j + Kx + ux via
+    x_start, so the field slice needs Kx rows before and Kx+1 after the
+    output window). ``kk`` is the X clamp — the only axis entering the
+    sharded extent math; y/z clamps ride through to the resample untouched.
     """
-    kk = params.pallas_max_displacement
+    from levelsetfusion_tpu.ops.pallas.resample import k3
+
+    kk = k3(params.pallas_max_displacement)[0]
     m = n_local + 2 * ghost
     xe_raw = m + 2 * kk + 1
     pallas_xe = ((m + 7) // 8) * 8
@@ -395,9 +406,12 @@ def prepare_block_resample(live_ext, params: SolverParams, live_halo: int,
         ((0, pallas_field_ext - xe_raw), (0, 0), (0, 0)),
         constant_values=TRUNCATION_FILL,
     )
-    stacked = prepare_field(field_x, kk)
+    k_full = params.pallas_max_displacement
+    if isinstance(k_full, list):
+        k_full = tuple(k_full)
+    stacked = prepare_field(field_x, k_full)
     flags = compute_skip_flags(
-        stacked, pallas_xe, pick_y_block(field_x.shape), kk, x_start=kk
+        stacked, pallas_xe, pick_y_block(field_x.shape), k_full, x_start=kk
     )
     return (stacked, flags, pallas_xe)
 
@@ -420,7 +434,12 @@ def resample_block_ext_cm(
             warp_field_pallas_prepared,
         )
 
-        kk = params.pallas_max_displacement
+        from levelsetfusion_tpu.ops.pallas.resample import k3
+
+        k_full = params.pallas_max_displacement
+        if isinstance(k_full, list):
+            k_full = tuple(k_full)
+        kx = k3(k_full)[0]
         stacked, flags, xe = prepared
         warp_k = jnp.pad(
             warp_ext_cm, ((0, 0), (0, xe - m), (0, 0), (0, 0))
@@ -428,11 +447,11 @@ def resample_block_ext_cm(
         return warp_field_pallas_prepared(
             stacked,
             warp_k,
-            kk,
+            k_full,
             y_block=pick_y_block(warp_k.shape[1:]),
             interpret=params.pallas_interpret,
             skip_flags=flags,
-            x_start=kk,
+            x_start=kx,
             component_major=True,
         )[:m]
     warp_ext = jnp.moveaxis(warp_ext_cm, 0, -1)

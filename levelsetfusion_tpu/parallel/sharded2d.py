@@ -84,9 +84,12 @@ def fused_block2d_supported(
         return False
     from levelsetfusion_tpu.ops.pallas.fused_gradient import fused_supported
 
+    from levelsetfusion_tpu.ops.pallas.resample import k3
+
     hx = 5 if params.sobolev_smoothing else 2
-    # The per-shard resample must produce hx exact x ghost rows.
-    kk = params.pallas_max_displacement
+    # The per-shard resample must produce hx exact ghost rows on BOTH
+    # sharded axes — gate on the larger per-axis clamp.
+    kk = max(k3(params.pallas_max_displacement)[:2])
     if params.use_pallas_resample and live_halo < kk + hx + 1:
         return False
     return fused_supported(
@@ -110,7 +113,9 @@ def pallas_block2d_supported(
         pallas_resample_supported,
     )
 
-    kk = params.pallas_max_displacement
+    from levelsetfusion_tpu.ops.pallas.resample import k3
+
+    kk = max(k3(params.pallas_max_displacement)[:2])
     return (
         params.use_pallas_resample
         and canonical.ndim == 3
@@ -224,7 +229,12 @@ def solve_single_level_sharded2d(
                 warp_field_pallas_prepared,
             )
 
-            kk = params.pallas_max_displacement
+            from levelsetfusion_tpu.ops.pallas.resample import k3
+
+            k_full = params.pallas_max_displacement
+            if isinstance(k_full, list):
+                k_full = tuple(k_full)
+            kx = k3(k_full)[0]
             stacked, flags, xe = prepared
             hd = live_halo - 2
             warp_cm = jnp.moveaxis(warp_ext, -1, 0)
@@ -235,11 +245,11 @@ def solve_single_level_sharded2d(
             we_full = warp_field_pallas_prepared(
                 stacked,
                 warp_cm,
-                kk,
+                k_full,
                 y_block=pick_y_block(warp_cm.shape[1:]),
                 interpret=params.pallas_interpret,
                 skip_flags=flags,
-                x_start=kk,
+                x_start=kx,
                 component_major=True,
             )
             we = we_full[: n0 + 4, hd : hd + n1 + 4]

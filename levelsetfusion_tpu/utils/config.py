@@ -75,6 +75,12 @@ class ExperimentConfig:
             s = dict(d["solver"])
             if isinstance(s.get("smoothing_mode"), str):
                 s["smoothing_mode"] = SmoothingMode(s["smoothing_mode"])
+            if isinstance(s.get("pallas_max_displacement"), list):
+                # Per-axis clamp: JSON round-trips tuples as lists; the
+                # solver params must stay hashable (static jit key).
+                s["pallas_max_displacement"] = tuple(
+                    s["pallas_max_displacement"]
+                )
             d["solver"] = SolverParams(**s)
         for key in ("grid_shape", "grid_offset", "mesh_shape"):
             if d.get(key) is not None:
@@ -177,7 +183,11 @@ PRESETS: Dict[str, ExperimentConfig] = {
             max_iterations=80,
             use_pallas_resample=True,
             use_pallas_gradient=True,
-            pallas_max_displacement=6,
+            # Per-axis clamp sized from the measured motion (2.46, 1.26,
+            # 5.32): the y clamp sets the resample's stacked-copy count
+            # (the dominant cost term), so pricing each axis separately
+            # keeps the K=2-class cost while covering the z pulse exactly.
+            pallas_max_displacement=(3, 2, 6),
         ),
         dataset_kwargs={"width": 96, "height": 96},
     ),

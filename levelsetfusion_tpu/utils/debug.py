@@ -86,7 +86,7 @@ class DisplacementContractError(RuntimeError):
 def check_displacement_contract(
     result,
     *,
-    pallas_max_displacement: int | None = None,
+    pallas_max_displacement=None,  # scalar or per-axis (kx, ky, kz)
     live_halo: int | None = None,
     sharded_axes: tuple = (0,),
     name: str = "solve",
@@ -108,7 +108,10 @@ def check_displacement_contract(
     md = np.asarray(md)
     violations = []
     if pallas_max_displacement is not None:
-        over = md > pallas_max_displacement
+        kv = np.asarray(pallas_max_displacement)
+        if kv.ndim:
+            kv = kv[: md.shape[0]]  # per-axis (kx, ky, kz) clamp
+        over = md > kv
         if over.any():
             violations.append(
                 f"{name}: max |u| per axis {md.tolist()} exceeds "

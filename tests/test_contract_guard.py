@@ -234,3 +234,37 @@ def test_schur_reports_max_disp():
     assert md[0] >= 5.0, md
     v = check_displacement_contract(res, live_halo=6)
     assert v and "live_halo" in v[0]
+
+
+def test_per_axis_k_auto_raise(monkeypatch):
+    """A per-axis clamp raises only the violated axes: md=(0,0,3.2) against
+    K=(3,2,2) becomes K=(3,2,5)."""
+    import levelsetfusion_tpu.models.fusion as fusion_mod
+    from levelsetfusion_tpu.models.fusion import _raised_k
+
+    assert _raised_k((0.5, 0.2, 3.2), (3, 2, 2)) == (3, 2, 5)
+    assert _raised_k((0.5, 0.2, 1.9), (3, 2, 2)) is None
+    assert _raised_k((3.5, 0.2, 1.9), (3, 2, 2)) == (5, 2, 2)
+    assert _raised_k((1.0, 1.0, 1.0), 2) is None
+    assert _raised_k((2.5, 0.0, 0.0), 2) == 4
+
+    # End-to-end: the mock solve produces u_x = 3.2 against K=(2, 2, 6);
+    # only kx is raised.
+    monkeypatch.setattr(
+        fusion_mod, "solve_single_level", _mock_solver_returning(3.2)
+    )
+    cam, frames, grid = _tiny_3d_setup()
+    cfg = FusionPipelineConfig(
+        grid=grid,
+        hierarchical=False,
+        solver=SolverParams(
+            max_iterations=1,
+            use_pallas_resample=True,
+            pallas_max_displacement=(2, 2, 6),
+            pallas_interpret=True,
+        ),
+    )
+    result = fuse_sequence(frames, cam, cfg)
+    r = result.reports[0]
+    assert r.pallas_max_displacement == (5, 2, 6), r
+    assert r.contract_violations == ()

@@ -169,3 +169,39 @@ def test_resample_narrow_band_skip_flags_multislab(rng):
     )
     ref = warp_field(fj, jnp.clip(w, -2, 2))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_per_axis_k_matches_golden(rng):
+    """Per-axis (kx, ky, kz) clamps: exact wherever |u_axis| <= k_axis —
+    anisotropic motion pays only for the axes that need it (the y clamp
+    sets the stacked-copy count, the dominant cost term)."""
+    from levelsetfusion_tpu.ops.interpolation import warp_field
+    from levelsetfusion_tpu.ops.pallas.resample import warp_field_fast
+
+    shape = (16, 16, 128)
+    base = rng.standard_normal(shape).astype(np.float32)
+    field = jnp.asarray(np.tanh(base * 0.4))
+    warp = np.zeros(shape + (3,), np.float32)
+    warp[..., 0] = rng.uniform(-2.5, 2.5, shape)   # needs kx >= 3
+    warp[..., 1] = rng.uniform(-1.5, 1.5, shape)   # needs ky >= 2
+    warp[..., 2] = rng.uniform(-5.5, 5.5, shape)   # z unbounded (single slab)
+    warp = jnp.asarray(warp)
+    ref = warp_field(field, warp)
+    got = warp_field_fast(field, warp, (3, 2, 6), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # Multi-slab z (z = 256): kz clamps z reads to ±6, which covers the
+    # |u_z| <= 5.5 warp, so the result stays exact.
+    shape2 = (16, 8, 256)
+    base2 = rng.standard_normal(shape2).astype(np.float32)
+    field2 = jnp.asarray(np.tanh(base2 * 0.4))
+    warp2 = np.zeros(shape2 + (3,), np.float32)
+    warp2[..., 0] = rng.uniform(-2.5, 2.5, shape2)
+    warp2[..., 1] = rng.uniform(-1.5, 1.5, shape2)
+    warp2[..., 2] = rng.uniform(-5.5, 5.5, shape2)
+    warp2 = jnp.asarray(warp2)
+    ref2 = warp_field(field2, warp2)
+    got2 = warp_field_fast(field2, warp2, (3, 2, 6), interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
