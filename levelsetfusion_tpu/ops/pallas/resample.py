@@ -7,7 +7,11 @@ problem's structure instead and measures **~12 ms** for the same resample
 (v8; see KERNEL_NOTES.md for the measured design-space log).
 
 Design (exact trilinear for per-axis displacements ``|u| ≤ K``; larger x/y
-displacements are clamped — documented fast-path semantics; z is unbounded):
+displacements are clamped — documented fast-path semantics; z is unbounded
+for single-slab volumes). ``K`` may be a per-axis ``(kx, ky, kz)`` tuple
+(see ``k3``): ky sets the stacked-copy count — the dominant HBM/VMEM cost
+— kx the window width, kz the multi-slab gather clamp, so anisotropic
+motion pays per axis instead of cubing the worst one:
 
 - **x/y integer offsets** are enumerated over the ``(2K+2)²`` shift pairs
   with exact *tent weights* (Σ_s tent(u−s)·plane[x+s] ≡ linear

@@ -262,3 +262,32 @@ def test_sharded_fused_gradient_no_sobolev_parity_interpret():
         pallas_interpret=True,
     )
     _parity(params, num_devices=4, live_halo=8, fields=(canonical, live))
+
+
+def test_sharded_per_axis_clamp_matches_single(rng):
+    """The per-shard Pallas resample path accepts a per-axis clamp tuple:
+    sharded solve == single-device solve under (kx, ky, kz)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from levelsetfusion_tpu.models import SolverParams, solve_single_level
+    from levelsetfusion_tpu.parallel import make_mesh, solve_single_level_sharded
+
+    shape = (32, 8, 128)
+    base = rng.standard_normal(shape).astype(np.float32)
+    canonical = jnp.asarray(np.tanh(base * 0.4))
+    live = jnp.asarray(np.tanh(np.roll(base, 1, axis=0) * 0.4))
+    params = SolverParams(
+        max_iterations=3, convergence_threshold=0.0, learning_rate=0.3,
+        use_pallas_resample=True, pallas_max_displacement=(3, 2, 4),
+        pallas_interpret=True,
+    )
+    sh = solve_single_level_sharded(
+        canonical, live, params, mesh=make_mesh(4), live_halo=8
+    )
+    ref = solve_single_level(
+        canonical, live, params.replace(use_pallas_resample=False)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.warp), np.asarray(ref.warp), rtol=2e-5, atol=2e-5
+    )
