@@ -601,7 +601,15 @@ def run_experiment(
         from levelsetfusion_tpu.parallel import make_mesh
 
         ds = _sequence_dataset(cfg)
-        mesh = make_mesh(cfg.num_devices)
+        mesh_axes = None
+        if cfg.mesh_shape is not None:
+            # Config 4 × the 2D voxel-block mesh: axes 0 AND 1 shard.
+            from levelsetfusion_tpu.parallel.mesh import make_mesh_2d
+
+            mesh = make_mesh_2d(cfg.mesh_shape)
+            mesh_axes = ("x", "y")
+        else:
+            mesh = make_mesh(cfg.num_devices)
         pipeline_cfg = FusionPipelineConfig(
             grid=grid,
             narrow_band_width_voxels=cfg.narrow_band_width_voxels,
@@ -624,7 +632,8 @@ def run_experiment(
 
         result = fuse_sequence_sharded(
             ds.frame_source(), ds.camera, pipeline_cfg, mesh=mesh,
-            live_halo=cfg.live_halo, frame_callback=on_frame,
+            mesh_axes=mesh_axes, live_halo=cfg.live_halo,
+            frame_callback=on_frame,
         )
         write_run_artifacts(
             out_dir, [], canonical=result.state.canonical,

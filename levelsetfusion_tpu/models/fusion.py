@@ -268,6 +268,7 @@ def fuse_sequence_sharded(
     *,
     mesh,
     axis_name: str = "x",
+    mesh_axes: tuple | None = None,
     live_halo: int = 8,
     frame_callback: Callable[[int, FusionState, jnp.ndarray], None] | None = None,
 ) -> FusionResult:
@@ -291,8 +292,17 @@ def fuse_sequence_sharded(
       motion, the blend falls back to the GSPMD gather, which is exact.
     - The blend is elementwise and keeps the state's sharding.
 
+    ``mesh_axes``: pass ``("x", "y")`` with a 2D mesh to shard spatial axes
+    0 AND 1 as true voxel blocks (parallel.sharded2d does the solve; the
+    blend resample runs as the exact GSPMD gather — the 2D-mesh per-shard
+    blend kernel is a possible later optimization, and the per-frame
+    contract checks cover both sharded axes). The 2D mesh composes with
+    flat per-frame solves; coarse-to-fine stays on the 1D mesh
+    (``hierarchical=True`` with a 2D mesh raises).
+
     Parity: tests/test_fusion_sharded.py asserts the final canonical equals
-    the single-device ``fuse_sequence`` to float tolerance.
+    the single-device ``fuse_sequence`` to float tolerance on both mesh
+    shapes.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -302,9 +312,17 @@ def fuse_sequence_sharded(
         warp_field_sharded,
     )
 
+    if mesh_axes is None:
+        mesh_axes = (axis_name,)
+    two_d = len(mesh_axes) == 2
+    if two_d and config.hierarchical:
+        raise ValueError(
+            "hierarchical sharded fusion runs on the 1D mesh; set "
+            "hierarchical=False for the 2D voxel-block mesh"
+        )
     grid = config.grid
-    sharding = NamedSharding(mesh, P(axis_name))
-    nd = mesh.shape[axis_name]
+    sharding = NamedSharding(mesh, P(*mesh_axes))
+    nd = mesh.shape[mesh_axes[0]]
     n_local = grid.shape[0] // nd
     solver = config.solver
 
@@ -353,6 +371,21 @@ def fuse_sequence_sharded(
                 warp = jax.device_put(hres.warp, sharding)
                 res = hres.level_results[-1]
                 level_halos = hres.level_halos
+            elif two_d:
+                from levelsetfusion_tpu.parallel.sharded2d import (
+                    solve_single_level_sharded2d,
+                )
+
+                res = solve_single_level_sharded2d(
+                    state.canonical,
+                    live,
+                    solver,
+                    mesh=mesh,
+                    axis_names=mesh_axes,
+                    live_halo=live_halo,
+                    initial_warp=init_warp,
+                )
+                warp = res.warp
             else:
                 res = solve_single_level_sharded(
                     state.canonical,
@@ -414,7 +447,7 @@ def fuse_sequence_sharded(
                     md, solver.pallas_max_displacement
                 )
             )
-        if blend_halo > n_local:
+        if two_d or blend_halo > n_local:
             warped = jax.jit(warp_field)(live, warp)  # GSPMD gather, exact
         else:
             warped = warp_field_sharded(
@@ -445,6 +478,7 @@ def fuse_sequence_sharded(
         else:
             violations = _frame_contract(
                 res, solver, k_used, live_halo=live_halo,
+                sharded_axes=(0, 1) if two_d else (0,),
                 name=f"sharded fusion frame {t}",
             )
 

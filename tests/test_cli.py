@@ -222,3 +222,30 @@ def test_verbose_emits_focus_voxel(tmp_path):
         events = [json.loads(line) for line in f]
     focus = [e for e in events if e["event"] == "focus_voxel"]
     assert focus and "warp_u0" in focus[0] and "canonical" in focus[0]
+
+
+def test_multi_frame_sharded_2dmesh_runs(tmp_path):
+    """multi_frame_sharded_3d honors mesh_shape: the fusion state stays
+    sharded over a 2D voxel-block mesh across the sequence."""
+    cfg = small(
+        PRESETS["config4_3d_fusion"],
+        mode="multi_frame_sharded_3d",
+        grid_shape=(32, 32, 24),
+        voxel_size=0.008,
+        grid_offset=(-16, -16, 42),
+        num_frames=3,
+        checkpoint_every=0,
+        mesh_shape=(2, 2),
+        live_halo=6,
+        solver=PRESETS["config4_3d_fusion"].solver.replace(
+            max_iterations=10, use_pallas_resample=False,
+            use_pallas_gradient=False,
+        ),
+        dataset_kwargs={"width": 48, "height": 48},
+    )
+    out = str(tmp_path / "mf2d")
+    s = run_experiment(cfg, out)
+    _check_artifacts(out, expect=("config.json", "summary.json"))
+    assert s["devices"] == 4
+    assert s["frames"] == 3
+    assert "contract_violations" in s

@@ -138,3 +138,35 @@ def test_sharded_hierarchical_fusion_matches_single_device():
     assert [r.solver_iterations for r in sh.reports] == [
         r.solver_iterations for r in ref.reports
     ]
+
+
+def test_sharded_fusion_2d_mesh_matches_single_device():
+    """Config 4 × the 2D voxel-block mesh (round 4): per-frame solves run
+    on parallel.sharded2d, the blend is the exact GSPMD gather, and the
+    fused canonical matches the single-device pipeline."""
+    from levelsetfusion_tpu.parallel.mesh import make_mesh_2d
+
+    seq, cfg = _setup()
+    mesh = make_mesh_2d((2, 2))
+    ref = fuse_sequence(seq.frames, seq.camera, cfg)
+    got = fuse_sequence_sharded(
+        seq.frames, seq.camera, cfg, mesh=mesh, mesh_axes=("x", "y"),
+        live_halo=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.state.canonical),
+        np.asarray(ref.state.canonical),
+        atol=2e-5,
+    )
+    assert got.reports[0].max_abs_displacement
+    import pytest
+
+    from levelsetfusion_tpu.models.fusion import FusionPipelineConfig
+
+    with pytest.raises(ValueError, match="1D mesh"):
+        fuse_sequence_sharded(
+            seq.frames, seq.camera,
+            FusionPipelineConfig(grid=cfg.grid, hierarchical=True,
+                                 solver=cfg.solver),
+            mesh=mesh, mesh_axes=("x", "y"),
+        )
