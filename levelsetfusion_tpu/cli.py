@@ -280,9 +280,10 @@ def _reports_contract_summary(reports) -> dict:
         "max_abs_displacement": [
             float(v) for v in np.max(np.asarray(mds), axis=0)
         ],
-        "final_pallas_max_displacement": max(
-            r.pallas_max_displacement for r in reports
-        ),
+        # The clamp only ever ratchets up (auto-raise), so the last frame's
+        # value is the sequence maximum; max() would break on a mixed
+        # int/tuple sequence.
+        "final_pallas_max_displacement": reports[-1].pallas_max_displacement,
         "contract_violations": violations,
     }
 
