@@ -280,10 +280,17 @@ if __name__ == "__main__":
     if "--cpu-mesh" in sys.argv:
         cpu_mesh(schur="--schur" in sys.argv)
     elif "--schur-table" in sys.argv:
-        schur_table(
-            shape=(128, 128, 128) if "--small" in sys.argv
-            else (512, 512, 512)
-        )
+        # The container exposes 2 host CPUs; the 8-virtual-device 512³ mesh
+        # is 4× oversubscribed and a full matched-termination table at 512³
+        # exceeds the round's CPU budget (measured: >40 min for the sync
+        # leg alone). --mid runs the same table at (128, 512, 512) — the
+        # production y/z extents at 1/8 the volume.
+        shape = (512, 512, 512)
+        if "--small" in sys.argv:
+            shape = (128, 128, 128)
+        elif "--mid" in sys.argv:
+            shape = (128, 512, 512)
+        schur_table(shape=shape)
     elif "--tpu-shard" in sys.argv:
         tpu_shard()
     else:
