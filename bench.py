@@ -154,6 +154,38 @@ def measure_config5_shard():
     return rate, secs
 
 
+def measure_config5_shard_scene():
+    """Per-shard rate on a SCENE-LIKE field (sphere-shell TSDF, mostly
+    truncated): the narrow-band skip flags engage, unlike the in-band
+    random fields above — this is the rate real reconstructions see
+    (experiments/config5_512_acceptance.py --tpu-shard is the standalone
+    provenance)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from levelsetfusion_tpu.models.single_level import solve_single_level
+
+    shape = SHARD_SHAPE
+    x = np.linspace(-1, 1, shape[0], dtype=np.float32)[:, None, None]
+    y = np.linspace(-1, 1, shape[1], dtype=np.float32)[None, :, None]
+    z = np.linspace(-1, 1, shape[2], dtype=np.float32)[None, None, :]
+    r = np.sqrt(x * x + y * y + z * z)
+    canonical = jnp.asarray(np.clip((r - 0.5) * 8.0, -1, 1))
+    r2 = np.sqrt((x - 0.01) ** 2 + y * y + z * z)
+    live = jnp.asarray(np.clip((r2 - 0.5) * 8.0, -1, 1))
+    params = _params(max_iterations=SHARD_ITER)
+    res = solve_single_level(canonical, live, params)
+    _sync(res.warp)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = solve_single_level(canonical, live, params)
+        _sync(res.warp)
+        best = min(best, time.perf_counter() - t0)
+    voxels = shape[0] * shape[1] * shape[2]
+    return voxels * SHARD_ITER / best
+
+
 def measure_config5_sharded1():
     """The same per-shard block run through solve_single_level_sharded on a
     ONE-device mesh: the full shard_map program (halo self-ppermutes,
@@ -211,12 +243,16 @@ def main():
     rate, secs = measure(SHAPE, N_ITER)
     cpu_rate = _cpu_baseline_rate()
     vs = rate / cpu_rate if cpu_rate else None
-    shard_rate = shard_secs = fps = shard1_rate = None
+    shard_rate = shard_secs = fps = shard1_rate = scene_rate = None
     if "--quick" not in sys.argv:
         try:
             shard_rate, shard_secs = measure_config5_shard()
         except Exception as e:
             shard_rate = f"failed: {e}"
+        try:
+            scene_rate = measure_config5_shard_scene()
+        except Exception as e:
+            scene_rate = f"failed: {e}"
         try:
             shard1_rate, _ = measure_config5_sharded1()
         except Exception as e:
@@ -243,6 +279,7 @@ def main():
                     "config5_per_shard_shape": list(SHARD_SHAPE),
                     "config5_per_shard_seconds": shard_secs,
                     "config5_sharded_1dev_mesh_voxel_iter_per_s": shard1_rate,
+                    "config5_per_shard_scene_voxel_iter_per_s": scene_rate,
                 },
             }
         )
