@@ -537,7 +537,14 @@ def run_experiment(
         )
 
         canonical, live, (cdepth, ldepth, cam3) = _pair_3d(cfg, grid)
-        mesh = make_mesh(cfg.num_devices)
+        mesh_axes = None
+        if cfg.mesh_shape is not None:
+            from levelsetfusion_tpu.parallel.mesh import make_mesh_2d
+
+            mesh = make_mesh_2d(cfg.mesh_shape)
+            mesh_axes = ("x", "y")
+        else:
+            mesh = make_mesh(cfg.num_devices)
         hp = HierarchicalParams(levels=cfg.levels, base=cfg.solver)
         pyramids = None
         if cfg.pyramid_method == "ewa_depth":
@@ -555,8 +562,8 @@ def run_experiment(
             )
             pyramids = (canon_pyr, live_pyr)
         res = solve_hierarchical_sharded(
-            canonical, live, hp, mesh=mesh, min_live_halo=cfg.live_halo,
-            pyramids=pyramids,
+            canonical, live, hp, mesh=mesh, mesh_axes=mesh_axes,
+            min_live_halo=cfg.live_halo, pyramids=pyramids,
         )
         all_rows = []
         for level, lr in enumerate(res.level_results):

@@ -42,13 +42,22 @@ from levelsetfusion_tpu.ops import pyramid
 from levelsetfusion_tpu.parallel.sharded import solve_single_level_sharded
 
 
-def _max_displacement_rows(warp) -> float:
-    """Host-side max |u| along the sharded axis (axis-0 component), voxels."""
-    return float(jnp.max(jnp.abs(warp[..., 0])))
+def _max_displacement_rows(warp, axes=(0,)) -> float:
+    """Host-side max |u| over the sharded axis components, voxels."""
+    return float(
+        max(float(jnp.max(jnp.abs(warp[..., a]))) for a in axes)
+    )
 
 
 def _level_can_shard(shape, n_devices: int, min_rows: int) -> bool:
     return shape[0] % n_devices == 0 and shape[0] // n_devices >= min_rows
+
+
+def _level_can_shard2d(shape, nd0: int, nd1: int, min_rows: int) -> bool:
+    return (
+        shape[0] % nd0 == 0 and shape[0] // nd0 >= min_rows
+        and shape[1] % nd1 == 0 and shape[1] // nd1 >= min_rows
+    )
 
 
 def solve_hierarchical_sharded(
@@ -58,6 +67,7 @@ def solve_hierarchical_sharded(
     *,
     mesh: Mesh,
     axis_name: str = "x",
+    mesh_axes: tuple | None = None,
     initial_warp: jnp.ndarray | None = None,
     min_live_halo: int = 8,
     halo_margin: int = 2,
@@ -76,9 +86,21 @@ def solve_hierarchical_sharded(
         coarsest first — e.g. EWA depth-regenerated coarse levels from
         ``models.hierarchical.build_pyramid_from_depth`` (SURVEY §2.10);
         default is 2× block-mean downsampling of ``canonical``/``live``.
+      mesh_axes: pass ``("x", "y")`` with a 2D mesh to run shardable
+        levels as true voxel blocks (parallel.sharded2d) — the halo is
+        sized from the measured displacement over BOTH sharded axes; a
+        level that cannot cover the motion on either axis runs replicated.
     """
-    nd = mesh.shape[axis_name]
-    shard = NamedSharding(mesh, P(axis_name))
+    two_d = mesh_axes is not None and len(mesh_axes) == 2
+    if two_d:
+        an0, an1 = mesh_axes
+        nd0, nd1 = mesh.shape[an0], mesh.shape[an1]
+        shard = NamedSharding(mesh, P(an0, an1))
+        disp_axes = (0, 1)
+    else:
+        nd = mesh.shape[axis_name]
+        shard = NamedSharding(mesh, P(axis_name))
+        disp_axes = (0,)
     rep = NamedSharding(mesh, P())
     min_rows = 3 if params.base.sobolev_smoothing else 2
 
@@ -107,21 +129,52 @@ def solve_hierarchical_sharded(
     level_halos: List[int | None] = []
     for level in range(params.levels):
         canon_l, live_l = canon_pyr[level], live_pyr[level]
-        n_local = canon_l.shape[0] // nd if canon_l.shape[0] % nd == 0 else 0
 
         # Halo needed to cover the warm start's reach across block edges
-        # (contract: |u_x| <= live_halo − 2), plus update headroom.
+        # (contract: |u| <= live_halo − 2 on every sharded axis), plus
+        # update headroom.
         need = 0
         if warp is not None:
-            need = int(math.ceil(_max_displacement_rows(warp))) + 2
+            need = int(
+                math.ceil(_max_displacement_rows(warp, disp_axes))
+            ) + 2
         live_halo = max(min_live_halo, need + halo_margin)
 
-        use_shard = (
-            _level_can_shard(canon_l.shape, nd, min_rows)
-            and live_halo <= n_local
-        )
+        if two_d:
+            n_local = min(
+                canon_l.shape[0] // nd0 if canon_l.shape[0] % nd0 == 0 else 0,
+                canon_l.shape[1] // nd1 if canon_l.shape[1] % nd1 == 0 else 0,
+            )
+            use_shard = (
+                _level_can_shard2d(canon_l.shape, nd0, nd1, min_rows)
+                and live_halo <= n_local
+            )
+        else:
+            n_local = (
+                canon_l.shape[0] // nd if canon_l.shape[0] % nd == 0 else 0
+            )
+            use_shard = (
+                _level_can_shard(canon_l.shape, nd, min_rows)
+                and live_halo <= n_local
+            )
         level_halos.append(live_halo if use_shard else None)
-        if use_shard:
+        if use_shard and two_d:
+            from levelsetfusion_tpu.parallel.sharded2d import (
+                solve_single_level_sharded2d,
+            )
+
+            res = solve_single_level_sharded2d(
+                jax.device_put(canon_l, shard),
+                jax.device_put(live_l, shard),
+                params.base,
+                mesh=mesh,
+                axis_names=mesh_axes,
+                live_halo=live_halo,
+                initial_warp=(
+                    jax.device_put(warp, shard) if warp is not None else None
+                ),
+            )
+        elif use_shard:
             res = solve_single_level_sharded(
                 jax.device_put(canon_l, shard),
                 jax.device_put(live_l, shard),

@@ -96,3 +96,40 @@ def test_hierarchical_sharded_warm_start():
     np.testing.assert_allclose(
         np.asarray(sh.warp), np.asarray(ref.warp), atol=2e-5, rtol=1e-4
     )
+
+
+def test_hierarchical_sharded_2d_mesh_matches_single(rng):
+    """Coarse-to-fine on the 2D voxel-block mesh (round 4): small-motion
+    case where every shardable level runs as 2D blocks — parity vs the
+    single-device hierarchical solve."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from levelsetfusion_tpu.models import HierarchicalParams, SolverParams
+    from levelsetfusion_tpu.models.hierarchical import solve_hierarchical
+    from levelsetfusion_tpu.parallel.hierarchical import (
+        solve_hierarchical_sharded,
+    )
+    from levelsetfusion_tpu.parallel.mesh import make_mesh_2d
+
+    shape = (32, 32, 16)
+    base = rng.standard_normal(shape).astype(np.float32)
+    canonical = jnp.asarray(np.tanh(base * 0.4))
+    live = jnp.asarray(np.tanh(np.roll(base, 1, axis=0) * 0.4))
+    hp = HierarchicalParams(
+        levels=2,
+        base=SolverParams(max_iterations=8, convergence_threshold=0.0,
+                          learning_rate=0.3),
+    )
+    mesh = make_mesh_2d((2, 2))
+    res = solve_hierarchical_sharded(
+        canonical, live, hp, mesh=mesh, mesh_axes=("x", "y"),
+        min_live_halo=4,
+    )
+    ref = solve_hierarchical(canonical, live, hp)
+    np.testing.assert_allclose(
+        np.asarray(res.warp), np.asarray(ref.warp), rtol=2e-5, atol=2e-5
+    )
+    # Both levels shardable at this size/motion → integer halos recorded.
+    assert res.level_halos is not None
+    assert res.level_halos[-1] is not None
