@@ -700,7 +700,25 @@ def run_experiment(
             fx=48.0, fy=48.0, cx=24.0, cy=24.0,
             image_width=48, image_height=48,
         )
-        depth = synthetic.blob_wall_depth_3d(cam, **kwargs)
+        # TWO blobs: a single circular blob on a flat wall is rotationally
+        # symmetric about the blob's axis, leaving one rotational DoF as a
+        # zero-energy gauge direction — the pose is then not identifiable
+        # and tiny platform-specific rounding walks the solve along the
+        # valley (measured: 0.117 "error" on TPU at CONVERGED energy, while
+        # CPU happened to stay put). The second, smaller, off-center blob
+        # pins all six DoF.
+        depth = jnp.minimum(
+            jnp.asarray(synthetic.blob_wall_depth_3d(cam, **kwargs)),
+            jnp.asarray(
+                synthetic.blob_wall_depth_3d(
+                    cam,
+                    **{**kwargs,
+                       "blob_radius_px": kwargs["blob_radius_px"] * 0.6,
+                       "blob_height": kwargs["blob_height"] * 0.7,
+                       "blob_center_px": (14.0, 31.0)},
+                )
+            ),
+        )
         true_ext = jnp.eye(4).at[0, 3].set(0.012).at[2, 3].set(-0.008)
         canonical = generate_tsdf_3d(
             jnp.asarray(depth), cam, grid, extrinsic=true_ext,
