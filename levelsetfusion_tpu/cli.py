@@ -107,7 +107,7 @@ _UNSET = object()
 
 def _contract_summary(
     res, cfg, *, sharded: bool = False, live_halo=_UNSET,
-    sharded_axes: tuple | None = None,
+    sharded_axes: tuple | None = None, k_used=_UNSET,
 ) -> dict:
     """Displacement-contract guard entries for summary.json: the measured
     per-axis max |u| plus any violations of the Pallas-clamp / sharded-halo
@@ -129,13 +129,27 @@ def _contract_summary(
         sharded_axes = (0, 1) if cfg.mesh_shape is not None else (0,)
     if live_halo is _UNSET:
         live_halo = cfg.live_halo if sharded else None
+    if k_used is _UNSET:
+        # Whole-volume gate (single-pair / multi-frame modes): clamp only
+        # when the Pallas resample actually engages for this shape on this
+        # backend (ADVICE r4: use_pallas_resample alone over-reports).
+        import types
+
+        from levelsetfusion_tpu.models.fusion import pallas_resample_engaged
+
+        stub = types.SimpleNamespace(
+            ndim=len(cfg.grid_shape), shape=tuple(cfg.grid_shape)
+        )
+        k_used = (
+            cfg.solver.pallas_max_displacement
+            if pallas_resample_engaged(cfg.solver, stub)
+            else None
+        )
+    from levelsetfusion_tpu.models.fusion import _k_engaged
+
     violations = check_displacement_contract(
         res,
-        pallas_max_displacement=(
-            cfg.solver.pallas_max_displacement
-            if cfg.solver.use_pallas_resample
-            else None
-        ),
+        pallas_max_displacement=k_used if _k_engaged(k_used) else None,
         live_halo=live_halo if sharded else None,
         sharded_axes=sharded_axes,
         name=cfg.name,
@@ -222,6 +236,7 @@ def _fast_path_gates(cfg, p, stub, n_dev) -> dict:
             and fused_supported(
                 shape, interpret=p.pallas_interpret,
                 sobolev=p.sobolev_smoothing,
+                sobolev_radius=p.sobolev_radius or 3,
             )
         )
     elif cfg.mode in ("sharded_3d", "multi_frame_sharded_3d",
@@ -261,7 +276,7 @@ def _fast_path_gates(cfg, p, stub, n_dev) -> dict:
                 out["fused_gradient"] = fused_block_supported(
                     p, stub, n_local
                 )
-            hx = 5 if p.sobolev_smoothing else 2
+            hx = p.stencil_halo
             ghost = hx if out["fused_gradient"] else 2
             out["pallas_resample"] = pallas_block_supported(
                 p, stub, lh, ghost
@@ -518,13 +533,36 @@ def run_experiment(
                 "total_inner_iterations": int(res.outer_steps)
                 * int(res.inner_per_outer),
             }
+        if cfg.mesh_shape is not None:
+            from levelsetfusion_tpu.parallel.sharded2d import (
+                block2d_fast_paths,
+            )
+
+            _, eng = block2d_fast_paths(
+                cfg.solver, canonical, cfg.live_halo, *cfg.mesh_shape
+            )
+        elif cfg.solver_kind == "schur":
+            from levelsetfusion_tpu.parallel.schur import schur_fast_paths
+
+            _, eng = schur_fast_paths(
+                cfg.solver, canonical, cfg.live_halo,
+                int(np.prod(list(mesh.shape.values()))),
+            )
+        else:
+            from levelsetfusion_tpu.parallel.sharded import block_fast_paths
+
+            _, eng = block_fast_paths(
+                cfg.solver, canonical, cfg.live_halo,
+                int(np.prod(list(mesh.shape.values()))),
+            )
+        k_used = cfg.solver.pallas_max_displacement if eng else 0
         return logger.finish(
             devices=int(np.prod(list(mesh.shape.values()))),
             iterations=int(res.iterations),
             converged=bool(res.converged),
             fast_paths=_fast_paths(cfg),
             **_residual_metrics(canonical, live, warped),
-            **_contract_summary(res, cfg, sharded=True),
+            **_contract_summary(res, cfg, sharded=True, k_used=k_used),
             **extra,
         )
 
@@ -581,8 +619,20 @@ def run_experiment(
         finest = res.level_results[-1]
         halos = res.level_halos or (None,) * cfg.levels
         level_violations = []
+        from levelsetfusion_tpu.parallel.hierarchical import level_k_used
+
+        mesh_counts = (
+            cfg.mesh_shape
+            if cfg.mesh_shape is not None
+            else (int(np.prod(list(mesh.shape.values()))),)
+        )
         for li, (lr, lh) in enumerate(zip(res.level_results, halos)):
-            c = _contract_summary(lr, cfg, sharded=True, live_halo=lh)
+            lk = level_k_used(
+                cfg.solver, lr.warp.shape[:-1], lh, mesh_counts
+            )
+            c = _contract_summary(
+                lr, cfg, sharded=True, live_halo=lh, k_used=lk
+            )
             level_violations += [
                 f"level {li}: {v}" for v in c.get("contract_violations", [])
             ]

@@ -142,14 +142,26 @@ def _raised_k(md, k) -> tuple | int | None:
     return int(math.ceil(worst)) + 1
 
 
-def _frame_contract(res, solver: SolverParams, k_used: int, name: str,
+def _k_engaged(k) -> bool:
+    """Whether ``k`` denotes an engaged Pallas clamp. Explicit about the
+    sentinel: None and the scalar 0 mean "exact gather ran"; a per-axis
+    tuple is always a real clamp even if an axis is 0 (ADVICE r4 — tuple
+    truthiness would silently disable the check)."""
+    if k is None:
+        return False
+    if isinstance(k, (tuple, list)):
+        return True
+    return k != 0
+
+
+def _frame_contract(res, k_used, name: str,
                     live_halo: int | None = None,
                     sharded_axes: tuple = (0,)) -> list:
     from levelsetfusion_tpu.utils.debug import check_displacement_contract
 
     return check_displacement_contract(
         res,
-        pallas_max_displacement=k_used or None,
+        pallas_max_displacement=k_used if _k_engaged(k_used) else None,
         live_halo=live_halo,
         sharded_axes=sharded_axes,
         name=name,
@@ -236,7 +248,7 @@ def fuse_frame(
             if pallas_resample_engaged(solver, live)
             else 0
         )
-        new_k = _raised_k(md, k_used) if k_used else None
+        new_k = _raised_k(md, k_used) if _k_engaged(k_used) else None
         if new_k is None or not config.auto_raise_displacement or attempt:
             break
         _log.warning(
@@ -247,7 +259,7 @@ def fuse_frame(
         solver = solver.replace(pallas_max_displacement=new_k)
 
     violations = _frame_contract(
-        res, solver, k_used, name=f"fusion frame {frame_index}"
+        res, k_used, name=f"fusion frame {frame_index}"
     )
     report = FrameReport(
         frame_index=frame_index,
@@ -413,18 +425,41 @@ def fuse_sequence_sharded(
             ints, floats = (np.asarray(a) for a in jax.device_get((ints, floats)))
             md = floats[1:]
 
-            k_used = (
-                solver.pallas_max_displacement
-                if pallas_resample_engaged(solver, state.canonical)
-                else 0
-            )
-            # Auto-raise applies to the flat sharded solve (the hierarchical
-            # driver already sizes its own per-level halos/paths).
-            new_k = (
-                _raised_k(md, k_used)
-                if (k_used and not config.hierarchical)
-                else None
-            )
+            # k_used comes from the gate the solver ACTUALLY used (ADVICE
+            # r4: the whole-volume gate misattributes clamps when the
+            # per-shard halo gate kept the solve on the exact jnp gather).
+            if config.hierarchical:
+                from levelsetfusion_tpu.parallel.hierarchical import (
+                    level_k_used,
+                )
+
+                fine_halo = level_halos[-1] if level_halos else None
+                k_used = level_k_used(
+                    solver, grid.shape, fine_halo, (nd,)
+                )
+            elif two_d:
+                from levelsetfusion_tpu.parallel.sharded2d import (
+                    block2d_fast_paths,
+                )
+
+                _, eng = block2d_fast_paths(
+                    solver, state.canonical, live_halo,
+                    mesh.shape[mesh_axes[0]], mesh.shape[mesh_axes[1]],
+                )
+                k_used = solver.pallas_max_displacement if eng else 0
+            else:
+                from levelsetfusion_tpu.parallel.sharded import (
+                    block_fast_paths,
+                )
+
+                _, eng = block_fast_paths(
+                    solver, state.canonical, live_halo, nd
+                )
+                k_used = solver.pallas_max_displacement if eng else 0
+            # Auto-raise: redo the frame with K raised to cover the
+            # measured motion (hierarchical included — its FINE level runs
+            # the clamped per-shard kernel too, ADVICE r4 medium).
+            new_k = _raised_k(md, k_used) if _k_engaged(k_used) else None
             if new_k is None or not config.auto_raise_displacement or attempt:
                 break
             _log.warning(
@@ -441,7 +476,7 @@ def fuse_sequence_sharded(
         need = int(math.ceil(float(md[0]))) + 2
         blend_halo = max(live_halo, ((need + 3) // 4) * 4)
         blend_params = solver
-        if k_used and _raised_k(md, solver.pallas_max_displacement):
+        if _k_engaged(k_used) and _raised_k(md, solver.pallas_max_displacement):
             blend_params = solver.replace(
                 pallas_max_displacement=_raised_k(
                     md, solver.pallas_max_displacement
@@ -468,16 +503,21 @@ def fuse_sequence_sharded(
         # (None = replicated, no contract).
         violations: list = []
         if config.hierarchical and level_halos is not None:
+            from levelsetfusion_tpu.parallel.hierarchical import level_k_used
+
             for li, (lres, lh) in enumerate(
                 zip(hres.level_results, level_halos)
             ):
+                lk = level_k_used(
+                    solver, lres.warp.shape[:-1], lh, (nd,)
+                )
                 violations += _frame_contract(
-                    lres, solver, 0, live_halo=lh,
+                    lres, lk, live_halo=lh,
                     name=f"sharded fusion frame {t} level {li}",
                 )
         else:
             violations = _frame_contract(
-                res, solver, k_used, live_halo=live_halo,
+                res, k_used, live_halo=live_halo,
                 sharded_axes=(0, 1) if two_d else (0,),
                 name=f"sharded fusion frame {t}",
             )

@@ -53,6 +53,20 @@ class SolverParams:
     def replace(self, **kw) -> "SolverParams":
         return dataclasses.replace(self, **kw)
 
+    @property
+    def sobolev_radius(self) -> int:
+        """Sobolev filter radius (0 when the filter is off)."""
+        return self.sobolev_kernel_size // 2 if self.sobolev_smoothing else 0
+
+    @property
+    def stencil_halo(self) -> int:
+        """Ghost rows one solver iteration needs per side of a sharded
+        axis: stencil radius 2 (central differences + Hessian) plus the
+        Sobolev filter radius when the filter consumes the same exchanged
+        rows in-kernel (the fused path). Derived from the ACTUAL kernel
+        size, not a hardcoded default (ADVICE r4)."""
+        return 2 + self.sobolev_radius
+
 
 @dataclasses.dataclass(frozen=True)
 class HierarchicalParams:

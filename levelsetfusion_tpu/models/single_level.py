@@ -138,6 +138,7 @@ def solve_single_level(
             canonical.shape,
             interpret=params.pallas_interpret,
             sobolev=params.sobolev_smoothing,
+            sobolev_radius=params.sobolev_radius or 3,
         ):
             use_fused = True
             if params.sobolev_smoothing:

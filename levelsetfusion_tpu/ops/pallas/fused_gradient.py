@@ -1109,6 +1109,11 @@ def _pick_tiles(
 ):
     """(xb, yb) for the y-tiled kernel: the fewest grid steps whose windows,
     double buffers, and straight-line temporaries fit the VMEM budget."""
+    if r > _YH - 2:
+        raise ValueError(
+            f"Sobolev radius {r} exceeds the tiled kernel's y halo budget "
+            f"(_YH - 2 = {_YH - 2})"
+        )
     best = None
     for yb in (256, 128, 64, 32, 16, 8):
         if y_len % yb:
@@ -1145,6 +1150,11 @@ def _pick_tiles_reuse(
 ):
     """(xb, yb) for the tiled term-row-reuse kernel: temporaries scale with
     xb+4 (not xb+2h) and the ring/staging join the budget."""
+    if r > _YH - 2:
+        raise ValueError(
+            f"Sobolev radius {r} exceeds the tiled kernel's y halo budget "
+            f"(_YH - 2 = {_YH - 2})"
+        )
     best = None
     for yb in (128, 64, 32, 16, 8):
         if y_len % yb:
@@ -1194,9 +1204,16 @@ def fused_supported(
     y_lo: int = 0,
     y_len: int | None = None,
     conv_local: bool = False,
+    sobolev_radius: int = 3,
 ) -> bool:
     """Shape gate for ``fused_gradient_update``: 3D, lane-width z,
-    sublane-tiled y, and a feasible VMEM plan (whole-volume or y-tiled)."""
+    sublane-tiled y, and a feasible VMEM plan (whole-volume or y-tiled).
+
+    ``sobolev_radius`` must be the ACTUAL filter radius the caller will run
+    (``params.sobolev_kernel_size // 2``) so the VMEM-plan feasibility
+    answer matches the lowering the kernel picks (ADVICE r4: a hardcoded
+    radius made the gate diverge from the lowering for non-default sizes).
+    """
     if not (interpret or jax.devices()[0].platform == "tpu"):
         return False
     if not _shape_ok(shape):
@@ -1206,12 +1223,12 @@ def fused_supported(
         x_len = x - x_lo
     if y_len is None:
         y_len = y - y_lo
-    h = 2 if (not sobolev or conv_local) else 5
+    h = 2 if (not sobolev or conv_local) else 2 + sobolev_radius
     if x_lo and (x_lo < h or x < x_lo + x_len):
         return False
     if y_lo and (y_lo < _YH or y_lo % 8 or y < y_lo + y_len):
         return False
-    r = 3 if sobolev else 0
+    r = sobolev_radius if sobolev else 0
     if y_lo == 0 and y_len == y:
         try:
             _pick_xb(x_len, x, y, z, h)
@@ -1309,8 +1326,8 @@ def fused_gradient_update(
     # Under conv_local_x the Sobolev x-conv reads only block-interior rows
     # (everything beyond is zeroed), so the x halo need drops back to the
     # stencil radius 2 — the Schur solver's 2-ghost-row contract.
-    h = 2 if (not taps or conv_local_x) else 5
     r = len(taps) // 2 if taps else 0
+    h = 2 if (not taps or conv_local_x) else 2 + r
 
     meta = jnp.stack([
         jnp.asarray(x_offset, jnp.int32),

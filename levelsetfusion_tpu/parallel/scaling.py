@@ -46,7 +46,7 @@ F32 = 4
 
 def _stencil_halo(params: SolverParams) -> int:
     """Ghost rows the warp exchange needs per side per iteration."""
-    return 5 if params.sobolev_smoothing else 2
+    return params.stencil_halo
 
 
 @dataclasses.dataclass(frozen=True)

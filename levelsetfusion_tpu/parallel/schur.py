@@ -132,7 +132,20 @@ def fused_schur_supported(params: SolverParams, canonical, n_local: int) -> bool
         x_lo=2,
         x_len=n_local,
         conv_local=True,
+        sobolev_radius=params.sobolev_radius or 3,
     )
+
+def schur_fast_paths(params: SolverParams, canonical, live_halo: int,
+                     num_devices: int) -> tuple:
+    """(use_fused, use_pallas_resample) exactly as
+    ``solve_single_level_schur`` gates them (single source of truth for
+    contract checks — the Schur resample always produces ghost=2 rows)."""
+    n_local = canonical.shape[0] // num_devices
+    lh = min(live_halo, n_local)
+    use_fused = fused_schur_supported(params, canonical, n_local)
+    use_pallas = pallas_block_supported(params, canonical, lh)
+    return use_fused, use_pallas
+
 
 # Neighbor-exchange (ppermute) rounds issued per outer step, by construction.
 PPERMUTE_ROUNDS_PER_OUTER = 2  # warp halo + interface directions
@@ -223,8 +236,9 @@ def solve_single_level_schur(
     t_inner = inner_iterations
     n_outer = -(-params.max_iterations // t_inner)
     num_voxels = float(canonical.size)
-    use_pallas = pallas_block_supported(params, canonical, live_halo)
-    use_fused = fused_schur_supported(params, canonical, n_local)
+    use_fused, use_pallas = schur_fast_paths(
+        params, canonical, live_halo, nd
+    )
     taps = ()
     if use_fused and params.sobolev_smoothing:
         from levelsetfusion_tpu.ops.pallas.fused_gradient import sobolev_taps

@@ -354,7 +354,7 @@ def fused_block_supported(params: SolverParams, canonical, n_local: int) -> bool
         return False
     from levelsetfusion_tpu.ops.pallas.fused_gradient import fused_supported
 
-    hx = 5 if params.sobolev_smoothing else 2
+    hx = params.stencil_halo
     shape = (n_local + 2 * hx, canonical.shape[1], canonical.shape[2])
     return fused_supported(
         shape,
@@ -362,7 +362,23 @@ def fused_block_supported(params: SolverParams, canonical, n_local: int) -> bool
         sobolev=params.sobolev_smoothing,
         x_lo=hx,
         x_len=n_local,
+        sobolev_radius=params.sobolev_radius or 3,
     )
+
+
+def block_fast_paths(params: SolverParams, canonical, live_halo: int,
+                     num_devices: int) -> tuple:
+    """(use_fused, use_pallas_resample) exactly as
+    ``solve_single_level_sharded`` gates them — the single source of truth
+    for callers (fusion's displacement-contract check) that must know
+    whether the ±K-clamped per-shard resample actually engaged (ADVICE r4:
+    deriving k_used from the whole-volume gate misattributed clamps)."""
+    n_local = canonical.shape[0] // num_devices
+    lh = min(live_halo, n_local)
+    use_fused = fused_block_supported(params, canonical, n_local)
+    ghost = params.stencil_halo if use_fused else 2
+    use_pallas = pallas_block_supported(params, canonical, lh, ghost)
+    return use_fused, use_pallas
 
 
 def pallas_prep_extents(params: SolverParams, n_local: int, ghost: int = 2):
@@ -519,10 +535,9 @@ def solve_single_level_sharded(
     # statically on shape/halo support; interpret-mode enables CPU testing.
     # The fused gradient+update kernel needs the resample to produce the full
     # stencil+filter halo (hx rows) around the block.
-    use_fused = fused_block_supported(params, canonical, n_local)
-    hx = 5 if params.sobolev_smoothing else 2
+    use_fused, use_pallas = block_fast_paths(params, canonical, live_halo, nd)
+    hx = params.stencil_halo
     ghost = hx if use_fused else 2
-    use_pallas = pallas_block_supported(params, canonical, live_halo, ghost)
     taps = ()
     if use_fused and params.sobolev_smoothing:
         from levelsetfusion_tpu.ops.pallas.fused_gradient import sobolev_taps

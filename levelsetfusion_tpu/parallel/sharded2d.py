@@ -86,7 +86,7 @@ def fused_block2d_supported(
 
     from levelsetfusion_tpu.ops.pallas.resample import k3
 
-    hx = 5 if params.sobolev_smoothing else 2
+    hx = params.stencil_halo
     # The per-shard resample must produce hx exact ghost rows on BOTH
     # sharded axes — gate on the larger per-axis clamp.
     kk = max(k3(params.pallas_max_displacement)[:2])
@@ -100,6 +100,7 @@ def fused_block2d_supported(
         x_len=n0,
         y_lo=8,
         y_len=n1,
+        sobolev_radius=params.sobolev_radius or 3,
     )
 
 
@@ -123,6 +124,28 @@ def pallas_block2d_supported(
         and (n1 + 2 * live_halo) % 8 == 0
         and pallas_resample_supported(canonical, params.pallas_interpret)
     )
+
+
+def block2d_fast_paths(params: SolverParams, canonical, live_halo: int,
+                       nd0: int, nd1: int) -> tuple:
+    """(use_fused, use_pallas_resample) exactly as
+    ``solve_single_level_sharded2d`` gates them (single source of truth for
+    fusion's displacement-contract k_used derivation)."""
+    from levelsetfusion_tpu.ops.pallas.resample import k3
+
+    n0 = canonical.shape[0] // nd0
+    n1 = canonical.shape[1] // nd1
+    lh = min(live_halo, n0, n1)
+    use_fused = fused_block2d_supported(params, canonical, n0, n1, lh)
+    ghost = params.stencil_halo if use_fused else 2
+    use_pallas = pallas_block2d_supported(params, canonical, lh, n1)
+    if use_fused and params.use_pallas_resample:
+        # The fused path needs hx exact resampled ghost rows on both
+        # sharded axes (per-axis clamps: the larger of the x/y clamps
+        # bounds the window).
+        kk = max(k3(params.pallas_max_displacement)[:2])
+        use_pallas = use_pallas and lh >= kk + ghost + 1
+    return use_fused, use_pallas
 
 
 def _crop(a, g0, g1):
@@ -403,15 +426,11 @@ def solve_single_level_sharded2d(
         )
         return total, energies
 
-    use_fused = fused_block2d_supported(params, canonical, n0, n1, live_halo)
-    hx = 5 if params.sobolev_smoothing else 2
+    use_fused, use_pallas = block2d_fast_paths(
+        params, canonical, live_halo, nd0, nd1
+    )
+    hx = params.stencil_halo
     ghost = hx if use_fused else 2
-    use_pallas = pallas_block2d_supported(params, canonical, live_halo, n1)
-    if use_fused and params.use_pallas_resample:
-        # The fused path needs hx exact resampled x ghost rows (gated).
-        use_pallas = use_pallas and live_halo >= (
-            params.pallas_max_displacement + ghost + 1
-        )
     taps = ()
     if use_fused and params.sobolev_smoothing:
         from levelsetfusion_tpu.ops.pallas.fused_gradient import sobolev_taps
