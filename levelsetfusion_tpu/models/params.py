@@ -49,6 +49,14 @@ class SolverParams:
     # Test hook: run the Pallas kernel in interpret mode (works on CPU) and
     # skip the TPU platform gate. Part of the static jit key.
     pallas_interpret: bool = False
+    # Distributed solvers: evaluate the global termination reduction (and
+    # the adaptive-rate energy comparison) every k-th iteration instead of
+    # every iteration, amortizing the fused psum/pmax round k×. k = 1 is
+    # the exact per-iteration semantics; k > 1 may run up to k−1 extra
+    # iterations past the convergence gate (and rounds max_iterations up
+    # to a multiple of k). Per-iteration TELEMETRY stays exact for any k:
+    # local per-iteration values are reduced once after the loop.
+    termination_check_interval: int = 1
 
     def replace(self, **kw) -> "SolverParams":
         return dataclasses.replace(self, **kw)

@@ -108,7 +108,11 @@ from levelsetfusion_tpu.models.params import SolverParams
 from levelsetfusion_tpu.models.single_level import SolveResult, SolveTelemetry
 from levelsetfusion_tpu.ops import sobolev as sobolev_ops
 from levelsetfusion_tpu.ops.gradient import SmoothingMode
-from levelsetfusion_tpu.parallel.halo import halo_exchange
+from levelsetfusion_tpu.parallel.halo import (
+    halo_exchange,
+    pmax_axis,
+    psum_axis,
+)
 from levelsetfusion_tpu.parallel.sharded import (
     _block_gradient,
     pallas_block_supported,
@@ -408,8 +412,14 @@ def solve_single_level_schur(
             # replace the edge rows' last explicit update with δ.
             d_first = _row(direction, slice(None, 1))
             d_last = _row(direction, slice(-1, None))
-            nbr_last = lax.ppermute(d_last, axis_name, fwd)  # left nbr's
-            nbr_first = lax.ppermute(d_first, axis_name, bwd)  # right nbr's
+            if nd == 1:
+                # No cuts on a mesh-of-1 axis: the interface solve is
+                # bypassed below (idx==0 and idx==nd-1 both hold), so skip
+                # the self-ppermute round entirely.
+                nbr_last, nbr_first = d_last, d_first
+            else:
+                nbr_last = lax.ppermute(d_last, axis_name, fwd)
+                nbr_first = lax.ppermute(d_first, axis_name, bwd)
 
             def solve2(d_own, d_nbr):
                 # per-component closed-form (I + a·A₂)⁻¹ applied to (d_own,
@@ -443,11 +453,11 @@ def solve_single_level_schur(
             ulen = jnp.sqrt(
                 jnp.sum(direction * direction, axis=0 if use_fused else -1)
             )
-            max_up = lax.pmax(jnp.max(ulen), axis_name)
-            mean_up = lax.psum(jnp.sum(ulen), axis_name) / num_voxels
-            e_d = lax.psum(e_d, axis_name)
-            e_s = lax.psum(e_s, axis_name)
-            e_l = lax.psum(e_l, axis_name)
+            max_up = pmax_axis(jnp.max(ulen), axis_name, nd)
+            mean_up = psum_axis(jnp.sum(ulen), axis_name, nd) / num_voxels
+            e_d = psum_axis(e_d, axis_name, nd)
+            e_s = psum_axis(e_s, axis_name, nd)
+            e_l = psum_axis(e_l, axis_name, nd)
 
             energy = e_d + e_s + e_l
             if params.adaptive_learning_rate:
@@ -465,8 +475,9 @@ def solve_single_level_schur(
         warp, s, max_up, _, _, tel, max_disp = lax.while_loop(
             cond, outer_body, init
         )
-        max_disp = lax.pmax(
-            jnp.maximum(max_disp, _axis_max_abs(warp, use_fused)), axis_name
+        max_disp = pmax_axis(
+            jnp.maximum(max_disp, _axis_max_abs(warp, use_fused)),
+            axis_name, nd,
         )
         if use_fused:
             warp = jnp.moveaxis(warp, 0, -1)

