@@ -290,7 +290,10 @@ if __name__ == "__main__":
             shape = (128, 128, 128)
         elif "--mid" in sys.argv:
             shape = (128, 512, 512)
-        schur_table(shape=shape)
+        budget = 32
+        if "--budget" in sys.argv:
+            budget = int(sys.argv[sys.argv.index("--budget") + 1])
+        schur_table(shape=shape, budget=budget)
     elif "--tpu-shard" in sys.argv:
         tpu_shard()
     else:
