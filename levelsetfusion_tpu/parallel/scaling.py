@@ -137,10 +137,13 @@ def comm_bytes_per_iteration(
             raise ValueError("schur2d needs a 2D mesh")
         # Slow axis (0): frozen warp halo (2 rows) + interface directions
         # (1 row) per OUTER step, amortized over T inner iterations. Fast
-        # axis (1): one live warp-ghost exchange (2 cols, carried on the
-        # x-extended block — n0+4 rows) per INNER iteration.
+        # axis (1): one live warp-ghost exchange per INNER iteration,
+        # carried on the x-extended block (n0+4 rows) — 8 ghost cols on
+        # the fused-kernel path (the y-window's sublane-aligned y_lo
+        # rule), 2 on the jnp path.
+        cols = 8 if fused else 2
         slow_outer = (2 + 1) * 2 * d * plane0 * dtype_bytes
-        fast_iter = 2 * 2 * d * (x_local + 4) * z * dtype_bytes
+        fast_iter = cols * 2 * d * (x_local + 4) * z * dtype_bytes
         return CommBudget(
             bytes_per_iteration=(
                 math.ceil(slow_outer / inner_iterations) + fast_iter
@@ -325,8 +328,9 @@ def predict_efficiency_2d(
         red0 = red1 = 1.0 / k_int
     elif solver_kind == "schur2d":
         t = inner_iterations
+        cols = 8 if fused else 2
         b0 = (2 + 1) * 2 * d * plane0 * F32 / t
-        b1 = 2 * 2 * d * (x_local + 4) * z * F32
+        b1 = cols * 2 * d * (x_local + 4) * z * F32
         ov0 = ov1 = 0.0
         rounds0 = 2.0 / t
         rounds1 = 1.0

@@ -50,6 +50,14 @@ Collectives per outer step (the reason this exists):
 
 vs the sync 2D solver's T slow-axis ppermute rounds + T reductions for the
 same T iterations — ~T× fewer DCN round-trips per unit of convergence.
+
+The inner loop runs the fused stencil/Sobolev/update Pallas kernel per
+shard when the shape supports it (``schur2d_fast_paths``): ``conv_local_x``
+keeps the Sobolev x-conv block-local (the 2-ghost-row Schur contract)
+while the kernel's y window consumes the live 8-col y exchange with the
+sync edge conventions — the same kernel the sync solvers run, composed
+with the Schur outer structure. Golden jnp assembly otherwise;
+fused-vs-jnp parity is asserted by tests/test_schur2d.py.
 ``parallel/scaling.py::predict_efficiency_2d`` prices both structures with
 per-axis link parameters; BASELINE.md records the DCN-regime table.
 
@@ -95,13 +103,53 @@ from levelsetfusion_tpu.parallel.sharded2d import (
 def schur2d_fast_paths(params: SolverParams, canonical, live_halo: int,
                        nd0: int, nd1: int) -> tuple:
     """(use_fused, use_pallas_resample) as ``solve_single_level_schur2d``
-    gates them. The fused kernel path is not yet composed here (the jnp
-    stencil assembly is the supported path); the per-shard Pallas resample
-    engages under the same gate as the sync 2D solver's jnp path."""
+    gates them.
+
+    The fused inner-loop kernel composes ``conv_local_x`` (block-local
+    Sobolev in x — the Schur 2-ghost-row contract) with the y-tiled
+    ``y_lo``/``y_len`` window machinery (sync semantics along the fast
+    axis, ghosts exchanged live every inner iteration). The per-shard
+    Pallas resample needs the x clamp window + 2 ghost rows and a
+    sublane-aligned y extent."""
+    from levelsetfusion_tpu.ops.pallas.resample import k3
+
     n0 = canonical.shape[0] // nd0
     n1 = canonical.shape[1] // nd1
     lh = min(live_halo, n0, n1)
-    return False, pallas_block2d_supported(params, canonical, lh, n1)
+    use_fused = False
+    if params.use_pallas_gradient and canonical.ndim == 3 and lh >= 8:
+        from levelsetfusion_tpu.ops.pallas.fused_gradient import (
+            fused_supported,
+        )
+
+        use_fused = fused_supported(
+            (n0 + 4, n1 + 16, canonical.shape[2]),
+            interpret=params.pallas_interpret,
+            sobolev=params.sobolev_smoothing,
+            x_lo=2,
+            x_len=n0,
+            y_lo=8,
+            y_len=n1,
+            conv_local=True,
+            sobolev_radius=params.sobolev_radius or 3,
+        )
+    if use_fused:
+        from levelsetfusion_tpu.ops.pallas.resample import (
+            pallas_resample_supported,
+        )
+
+        kx = k3(params.pallas_max_displacement)[0]
+        use_pallas = (
+            params.use_pallas_resample
+            and lh >= kx + 3
+            and (n1 + 2 * lh) % 8 == 0
+            and pallas_resample_supported(
+                canonical, params.pallas_interpret
+            )
+        )
+    else:
+        use_pallas = pallas_block2d_supported(params, canonical, lh, n1)
+    return use_fused, use_pallas
 
 
 @partial(
@@ -162,9 +210,17 @@ def solve_single_level_schur2d(
     t_inner = inner_iterations
     n_outer = -(-params.max_iterations // t_inner)
     num_voxels = float(canonical.size)
-    _, use_pallas = schur2d_fast_paths(
+    use_fused, use_pallas = schur2d_fast_paths(
         params, canonical, live_halo, nd0, nd1
     )
+    taps = ()
+    if use_fused and params.sobolev_smoothing:
+        from levelsetfusion_tpu.ops.pallas.fused_gradient import sobolev_taps
+
+        taps = sobolev_taps(
+            params.sobolev_kernel_size, params.sobolev_strength
+        )
+    x_gl, y_gl = canonical.shape[0], canonical.shape[1]
 
     # Interface coupling per warp component (see parallel/schur.py): the
     # cuts are along spatial axis 0, so the Killing operator's ∇(∇·u) adds
@@ -197,6 +253,98 @@ def solve_single_level_schur2d(
         if use_pallas:
             prepared = prepare_block_resample(
                 live_ext, params, live_halo, n0, 2
+            )
+        canon_ext2 = None
+        x_off = y_off = None
+        if use_fused:
+            # Canonical for the fused kernel: x ghost rows never reach an
+            # interior output (conv_local_x + the edge masks), so an edge
+            # pad suffices in x — no slow-axis collective; the y ghosts
+            # (8 cols) cross real cuts and exchange once per solve.
+            ce = jnp.concatenate(
+                [canon_blk[:1], canon_blk, canon_blk[-1:]], axis=0
+            )
+            ce = jnp.concatenate([ce[:1], ce, ce[-1:]], axis=0)
+            canon_ext2 = halo_exchange(
+                ce, 8, an1, nd1, fill="truncation", axis=1
+            )
+            x_off = idx0 * n0 - 2
+            y_off = idx1 * n1 - 8
+
+        def _resample_fused(w_ext_cm):
+            """Warped live on the (n0+4, n1+16) fused-kernel window from a
+            component-major warp carrying 2 frozen x ghost rows and 8 live
+            y ghost cols."""
+            m0, m1 = n0 + 4, n1 + 16
+            if prepared is not None:
+                from levelsetfusion_tpu.ops.pallas.resample import (
+                    k3,
+                    pick_y_block,
+                    warp_field_pallas_prepared,
+                )
+
+                k_full = params.pallas_max_displacement
+                if isinstance(k_full, list):
+                    k_full = tuple(k_full)
+                kx = k3(k_full)[0]
+                stacked, flags, xe = prepared
+                hd = live_halo - 8
+                wk = jnp.pad(
+                    w_ext_cm, ((0, 0), (0, xe - m0), (hd, hd), (0, 0))
+                )
+                out = warp_field_pallas_prepared(
+                    stacked, wk, k_full,
+                    y_block=pick_y_block(wk.shape[1:]),
+                    interpret=params.pallas_interpret,
+                    skip_flags=flags, x_start=kx, component_major=True,
+                )
+                return out[:m0, hd : hd + m1]
+            shape_ext = (m0, m1) + canon_blk.shape[2:]
+            i0 = lax.broadcasted_iota(jnp.int32, shape_ext, 0).astype(
+                w_ext_cm.dtype
+            )
+            i1 = lax.broadcasted_iota(jnp.int32, shape_ext, 1).astype(
+                w_ext_cm.dtype
+            )
+            coords = [
+                i0 + (live_halo - 2) + w_ext_cm[0],
+                i1 + (live_halo - 8) + w_ext_cm[1],
+            ]
+            for ax in range(2, d):
+                ident = lax.broadcasted_iota(
+                    jnp.int32, shape_ext, ax
+                ).astype(w_ext_cm.dtype)
+                coords.append(ident + w_ext_cm[ax])
+            return sample_at(live_ext, jnp.stack(coords, axis=-1))
+
+        def fused_inner_step(w_cm, x_ghosts_cm, rate):
+            """One fused inner iteration: ONE live fast-axis exchange
+            (8 y ghost cols), frozen x ghosts, then resample + one kernel
+            call (conv_local_x Sobolev in x, sync y-window semantics)."""
+            from levelsetfusion_tpu.ops.pallas.fused_gradient import (
+                fused_gradient_update,
+            )
+
+            w_x = jnp.concatenate(
+                [x_ghosts_cm[0], w_cm, x_ghosts_cm[1]], axis=1
+            )
+            w_ext = halo_exchange(
+                w_x, 8, an1, nd1, fill="replicate", axis=2
+            )
+            warped_ext = _resample_fused(w_ext)
+            return fused_gradient_update(
+                warped_ext, canon_ext2, w_ext, rate,
+                w_data=params.data_term_weight,
+                w_smooth=params.smoothing_term_weight,
+                w_ls=params.level_set_term_weight,
+                killing=params.smoothing_mode is SmoothingMode.KILLING,
+                gamma=params.rigidity_enforcement_factor,
+                band_union=params.band_union_only,
+                taps=taps,
+                interpret=params.pallas_interpret,
+                x_offset=x_off, x_global=x_gl, x_lo=2, x_len=n0,
+                y_offset=y_off, y_global=y_gl, y_lo=8, y_len=n1,
+                conv_local_x=True,
             )
 
         def gradient(warp, x_ghosts):
@@ -425,8 +573,11 @@ def solve_single_level_schur2d(
             return total, (e_data, e_smooth, e_ls)
 
         zeros = jnp.zeros((n_outer,), canon_blk.dtype)
+        warp0 = (
+            jnp.moveaxis(warp0_blk, -1, 0) if use_fused else warp0_blk
+        )
         init = (
-            warp0_blk,
+            warp0,
             jnp.zeros((), jnp.int32),
             jnp.full((), jnp.inf, canon_blk.dtype),
             jnp.asarray(params.learning_rate, canon_blk.dtype),
@@ -434,6 +585,12 @@ def solve_single_level_schur2d(
             SchurTelemetry(zeros, zeros, zeros, zeros, zeros),
             jnp.zeros((d,), canon_blk.dtype),
         )
+        # Component axis position: the fused path carries the warp
+        # component-major (3, x, y, z) — the layout both kernels want.
+        x_ax = 1 if use_fused else 0
+
+        def _row(a, sl):
+            return a[:, sl] if use_fused else a[sl]
 
         def cond(state):
             _, s, max_up, _, _, _, _ = state
@@ -444,18 +601,36 @@ def solve_single_level_schur2d(
 
             # (1) ONE slow-axis round: the frozen x ghost rows.
             warp_x = halo_exchange(
-                warp, 2, an0, nd0, fill="replicate", axis=0
+                warp, 2, an0, nd0, fill="replicate", axis=x_ax
             )
-            x_ghosts = (warp_x[:2], warp_x[-2:])
+            x_ghosts = (_row(warp_x, slice(None, 2)),
+                        _row(warp_x, slice(-2, None)))
 
             # (2) sync inner sweep: one fast-axis round per iteration,
             # zero slow-axis collectives.
-            def inner(_, carry):
-                w, _, _, md = carry
-                md = jnp.maximum(md, _axis_max_abs(w, False))
-                grad, energies = gradient(w, x_ghosts)
-                direction = -rate * grad
-                return (w + direction, direction, energies, md)
+            if use_fused:
+                max_disp = jnp.maximum(
+                    max_disp, _axis_max_abs(warp, use_fused)
+                )
+
+                def inner(_, carry):
+                    w, _, _, md = carry
+                    new_w, stats = fused_inner_step(w, x_ghosts, rate)
+                    energies = (
+                        stats.data_energy,
+                        stats.smoothing_energy,
+                        stats.level_set_energy,
+                    )
+                    md = jnp.maximum(md, stats.max_abs_u)
+                    return (new_w, new_w - w, energies, md)
+            else:
+
+                def inner(_, carry):
+                    w, _, _, md = carry
+                    md = jnp.maximum(md, _axis_max_abs(w, False))
+                    grad, energies = gradient(w, x_ghosts)
+                    direction = -rate * grad
+                    return (w + direction, direction, energies, md)
 
             dir0 = jnp.zeros_like(warp)
             e0 = (jnp.zeros((), canon_blk.dtype),) * 3
@@ -465,8 +640,8 @@ def solve_single_level_schur2d(
 
             # (3) slow-axis interface reduction (1 round): closed-form
             # 2×2 solve per x cut (see parallel/schur.py).
-            d_first = direction[:1]
-            d_last = direction[-1:]
+            d_first = _row(direction, slice(None, 1))
+            d_last = _row(direction, slice(-1, None))
             if nd0 == 1:
                 nbr_last, nbr_first = d_last, d_first
             else:
@@ -478,23 +653,30 @@ def solve_single_level_schur2d(
                 for c in range(d):
                     a = rate * w_s * kappa[c]
                     det = (1.0 + 2.0 * a) ** 2 - a * a
-                    parts.append(
-                        ((1.0 + 2.0 * a) * d_own[..., c] + a * d_nbr[..., c])
-                        / det
-                    )
-                return jnp.stack(parts, axis=-1)
+                    own = d_own[c] if use_fused else d_own[..., c]
+                    nbr = d_nbr[c] if use_fused else d_nbr[..., c]
+                    parts.append(((1.0 + 2.0 * a) * own + a * nbr) / det)
+                return jnp.stack(parts, axis=0 if use_fused else -1)
 
             delta_first = solve2(d_first, nbr_last)
             delta_last = solve2(d_last, nbr_first)
             delta_first = jnp.where(idx0 == 0, d_first, delta_first)
             delta_last = jnp.where(idx0 == nd0 - 1, d_last, delta_last)
-            warp = warp.at[:1].add(delta_first - d_first)
-            warp = warp.at[-1:].add(delta_last - d_last)
-            direction = direction.at[:1].set(delta_first)
-            direction = direction.at[-1:].set(delta_last)
+            if use_fused:
+                warp = warp.at[:, :1].add(delta_first - d_first)
+                warp = warp.at[:, -1:].add(delta_last - d_last)
+                direction = direction.at[:, :1].set(delta_first)
+                direction = direction.at[:, -1:].set(delta_last)
+            else:
+                warp = warp.at[:1].add(delta_first - d_first)
+                warp = warp.at[-1:].add(delta_last - d_last)
+                direction = direction.at[:1].set(delta_first)
+                direction = direction.at[-1:].set(delta_last)
 
             # (4) ONE fused global reduction over both axes.
-            ulen = jnp.sqrt(jnp.sum(direction * direction, axis=-1))
+            ulen = jnp.sqrt(
+                jnp.sum(direction * direction, axis=0 if use_fused else -1)
+            )
             max_up = pmax_axis(
                 pmax_axis(jnp.max(ulen), an0, nd0), an1, nd1
             )
@@ -526,10 +708,13 @@ def solve_single_level_schur2d(
         )
         max_disp = pmax_axis(
             pmax_axis(
-                jnp.maximum(max_disp, _axis_max_abs(warp, False)), an0, nd0
+                jnp.maximum(max_disp, _axis_max_abs(warp, use_fused)),
+                an0, nd0,
             ),
             an1, nd1,
         )
+        if use_fused:
+            warp = jnp.moveaxis(warp, 0, -1)
         return warp, s, max_up < params.convergence_threshold, tel, max_disp
 
     spec = P(an0, an1)

@@ -145,13 +145,19 @@ def test_schur2d_budget_and_dcn_regime():
     p = SolverParams(sobolev_smoothing=True)
     b = comm_bytes_per_iteration(
         (512, 512, 512), (4, 2), p, solver_kind="schur2d",
-        inner_iterations=8,
+        inner_iterations=8, fused=False,
     )
     # Slow axis: (2+1) rows × 2 sides × 3 comps × (256×512) plane / 8.
-    # Fast axis: 2 cols × 2 sides × 3 comps × ((128+4)×512) plane.
+    # Fast axis (jnp path): 2 cols × 2 sides × 3 comps × ((128+4)×512).
     slow = 3 * 2 * 3 * 256 * 512 * 4
     fast = 2 * 2 * 3 * 132 * 512 * 4
     assert b.bytes_per_iteration == -(-slow // 8) + fast
+    # The fused inner path exchanges the kernel's 8-col y window.
+    bf = comm_bytes_per_iteration(
+        (512, 512, 512), (4, 2), p, solver_kind="schur2d",
+        inner_iterations=8, fused=True,
+    )
+    assert bf.bytes_per_iteration == -(-slow // 8) + 4 * fast
     assert b.ppermute_rounds_per_iteration == pytest.approx(1 + 2 / 8)
 
     # DCN regime: 2 ms/iteration compute (a 128³-class shard), 100 µs
