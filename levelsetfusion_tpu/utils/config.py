@@ -206,7 +206,10 @@ PRESETS: Dict[str, ExperimentConfig] = {
         grid_shape=(128, 64, 128),
         voxel_size=0.008,
         grid_offset=(-64, -32, 38),
-        solver=_solver_3d(max_iterations=60, use_pallas_resample=True,
+        # Budget covers the measured convergence point: the preset reaches
+        # its 1e-3 gate at 302 iterations (experiments/config5_convergence
+        # .py, virtual mesh) — converged: True is part of the contract.
+        solver=_solver_3d(max_iterations=320, use_pallas_resample=True,
                           use_pallas_gradient=True),
         live_halo=8,
     ),
@@ -222,7 +225,9 @@ PRESETS: Dict[str, ExperimentConfig] = {
         grid_shape=(128, 64, 128),
         voxel_size=0.008,
         grid_offset=(-64, -32, 38),
-        solver=_solver_3d(max_iterations=60, use_pallas_resample=True,
+        # Total-inner budget: converges in 38 outer steps x 8 = 304
+        # inner iterations at the same gate (config5_convergence.py).
+        solver=_solver_3d(max_iterations=320, use_pallas_resample=True,
                           use_pallas_gradient=True,
                           adaptive_learning_rate=False),
         live_halo=8,
@@ -240,7 +245,8 @@ PRESETS: Dict[str, ExperimentConfig] = {
         grid_shape=(128, 64, 128),
         voxel_size=0.008,
         grid_offset=(-64, -32, 38),
-        solver=_solver_3d(max_iterations=60, use_pallas_resample=True,
+        # Converges at 302 iterations (config5_convergence.py).
+        solver=_solver_3d(max_iterations=320, use_pallas_resample=True,
                           use_pallas_gradient=True),
         live_halo=8,
         mesh_shape=(2, 4),
@@ -291,7 +297,9 @@ PRESETS: Dict[str, ExperimentConfig] = {
         grid_offset=(-64, -32, 38),
         levels=3,
         dataset_kwargs={"live_shift_px": 10.0},
-        solver=_solver_3d(max_iterations=60, use_pallas_resample=True,
+        # Per-level budget: the levels converge at [115, 159, 43]
+        # iterations on their 1e-3 gates (config5_convergence.py).
+        solver=_solver_3d(max_iterations=200, use_pallas_resample=True,
                           use_pallas_gradient=True,
                           pallas_max_displacement=8),
         live_halo=11,
@@ -310,7 +318,8 @@ PRESETS: Dict[str, ExperimentConfig] = {
         grid_shape=(128, 64, 128),
         voxel_size=0.008,
         grid_offset=(-64, -32, 38),
-        solver=_solver_3d(max_iterations=64, use_pallas_resample=True,
+        # Converges in 38 outer steps x 8 inner (config5_convergence.py).
+        solver=_solver_3d(max_iterations=320, use_pallas_resample=True,
                           use_pallas_gradient=True,
                           adaptive_learning_rate=False),
         live_halo=8,
