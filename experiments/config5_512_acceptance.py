@@ -154,6 +154,13 @@ def schur_table(shape=(512, 512, 512), budget=32):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
+        # The 2-CPU container oversubscribes 8 virtual devices 4x; at the
+        # full 512^3 a starved device thread can trail a collective by
+        # minutes, and XLA-CPU's default 40 s rendezvous termination
+        # timeout kills the process (measured round 5). These are test
+        # harness settings, not production knobs.
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
     ).strip()
     import jax
 

@@ -146,13 +146,12 @@ def _contract_summary(
         # Whole-volume gate (single-pair / multi-frame modes): clamp only
         # when the Pallas resample actually engages for this shape on this
         # backend (ADVICE r4: use_pallas_resample alone over-reports).
-        import types
-
-        from levelsetfusion_tpu.models.fusion import pallas_resample_engaged
-
-        stub = types.SimpleNamespace(
-            ndim=len(cfg.grid_shape), shape=tuple(cfg.grid_shape)
+        from levelsetfusion_tpu.models.fusion import (
+            field_stub,
+            pallas_resample_engaged,
         )
+
+        stub = field_stub(cfg.grid_shape)
         k_used = (
             cfg.solver.pallas_max_displacement
             if pallas_resample_engaged(cfg.solver, stub)
@@ -468,7 +467,15 @@ def run_experiment(
             video.add_frame(np.asarray(state.canonical))
             logger.event(
                 "frame_fused", frame=t,
-                band_voxels=int((np.abs(np.asarray(state.canonical)) < 1).sum()),
+                # The report carries band_voxels from the frame's single
+                # packed fetch — no second full-volume gather.
+                band_voxels=(
+                    report.band_voxels
+                    if report is not None
+                    else int(
+                        (np.abs(np.asarray(state.canonical)) < 1).sum()
+                    )
+                ),
             )
             if cfg.checkpoint_every and t % cfg.checkpoint_every == 0:
                 # Persist the auto-raise ratchet (VERDICT r4 weak #6): a
@@ -489,18 +496,24 @@ def run_experiment(
                 k_saved = (
                     tuple(k_saved) if isinstance(k_saved, list) else k_saved
                 )
-                if k_saved != pipeline_cfg.solver.pallas_max_displacement:
+                # Merge as a RATCHET (element-wise max), never a
+                # downgrade: a user who raised the configured clamp after
+                # seeing warnings must keep their raise on resume.
+                merged = _merge_clamp(
+                    pipeline_cfg.solver.pallas_max_displacement, k_saved
+                )
+                if merged != pipeline_cfg.solver.pallas_max_displacement:
                     logger.event(
                         "resume_restores_clamp", pallas_max_displacement=(
-                            list(k_saved)
-                            if isinstance(k_saved, tuple)
-                            else k_saved
+                            list(merged)
+                            if isinstance(merged, tuple)
+                            else merged
                         ),
                     )
                     pipeline_cfg = dataclasses.replace(
                         pipeline_cfg,
                         solver=pipeline_cfg.solver.replace(
-                            pallas_max_displacement=k_saved
+                            pallas_max_displacement=merged
                         ),
                     )
             # Continue the fusion loop manually from the checkpointed
@@ -788,7 +801,13 @@ def run_experiment(
             frame_times.append(time.perf_counter())
             logger.event(
                 "frame_fused", frame=t,
-                band_voxels=int((np.abs(np.asarray(state.canonical)) < 1).sum()),
+                band_voxels=(
+                    report.band_voxels
+                    if report is not None
+                    else int(
+                        (np.abs(np.asarray(state.canonical)) < 1).sum()
+                    )
+                ),
             )
             if cfg.checkpoint_every and t % cfg.checkpoint_every == 0:
                 # Sharded arrays snapshot shard-wise (utils.checkpoint);
@@ -906,6 +925,22 @@ def run_experiment(
     raise ValueError(f"unknown mode {cfg.mode!r}")
 
 
+def _merge_clamp(configured, saved):
+    """Element-wise max of two Pallas clamps (scalar or per-axis)."""
+    if isinstance(configured, (tuple, list)) or isinstance(
+        saved, (tuple, list)
+    ):
+        ct = configured if isinstance(configured, (tuple, list)) else (
+            (configured,) * 3
+        )
+        st = saved if isinstance(saved, (tuple, list)) else ((saved,) * 3)
+        n = max(len(ct), len(st))
+        ct = tuple(ct) + (ct[-1],) * (n - len(ct))
+        st = tuple(st) + (st[-1],) * (n - len(st))
+        return tuple(max(a, b) for a, b in zip(ct, st))
+    return max(configured, saved)
+
+
 def _resume_fusion(state, warp, frames, camera, pipeline_cfg, on_frame, frame_offset):
     """Continue a fusion run from checkpointed state over remaining frames.
 
@@ -921,20 +956,33 @@ def _resume_fusion(state, warp, frames, camera, pipeline_cfg, on_frame, frame_of
     reports = []
     solver = pipeline_cfg.solver
     for j, frame in enumerate(frame_iter, start=1):
-        live = _gen(
-            jnp.asarray(frame), camera, pipeline_cfg.grid,
-            narrow_band_width_voxels=pipeline_cfg.narrow_band_width_voxels,
-            method=pipeline_cfg.generation_method,
-        )
         t = frame_offset + j
         # Same guarded frame step as fuse_sequence (displacement contract
         # checked, K auto-raised on violation) — resume stays accuracy-
-        # equivalent to an uninterrupted run.
-        state, warp, report, solver = fuse_frame(
-            state, live, warp, solver, pipeline_cfg, t
-        )
+        # equivalent to an uninterrupted run. Flat path: the depth rides
+        # into the all-in-one frame program (one dispatch per frame).
+        if pipeline_cfg.hierarchical:
+            live = _gen(
+                jnp.asarray(frame), camera, pipeline_cfg.grid,
+                narrow_band_width_voxels=(
+                    pipeline_cfg.narrow_band_width_voxels
+                ),
+                method=pipeline_cfg.generation_method,
+            )
+            state, warp, report, solver = fuse_frame(
+                state, live, warp, solver, pipeline_cfg, t
+            )
+        else:
+            state, warp, report, solver = fuse_frame(
+                state, None, warp, solver, pipeline_cfg, t,
+                depth=jnp.asarray(frame), camera=camera,
+            )
         reports.append(report)
-        on_frame(t, state, warp)
+        # Full extended-callback contract: checkpoints written by the
+        # RESUMED run must carry the clamp ratchet too.
+        from levelsetfusion_tpu.models.fusion import _call_frame_callback
+
+        _call_frame_callback(on_frame, t, state, warp, report, solver)
     return FusionResult(state=state, reports=reports, final_warp=warp)
 
 

@@ -142,11 +142,14 @@ def load_snoopy_calib(path: str) -> dict:
             elif head in ("width", "height") and vals:
                 keys[head] = int(vals[0])
             else:
-                # Bare numeric row (matrix layout).
+                # Bare numeric row (matrix layout) — all-or-nothing so a
+                # partially-numeric line ('1.0 scale', trailing comments)
+                # cannot leak stray values into the 3x3 parse.
                 try:
-                    floats.extend(float(t) for t in tokens)
+                    row = [float(t) for t in tokens]
                 except ValueError:
-                    pass
+                    continue
+                floats.extend(row)
     if not {"fx", "fy", "cx", "cy"} <= set(keys):
         if len(floats) < 9:
             raise ValueError(

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+from functools import partial
 import math
 from typing import Callable, List, NamedTuple, Sequence, Tuple
 
@@ -113,6 +114,22 @@ class FusionPipelineConfig:
     auto_raise_displacement: bool = True
 
 
+def field_stub(shape):
+    """Shape-only stand-in accepted by the static fast-path gates
+    (``pallas_resample_supported`` and friends read only ndim/shape) —
+    shared by every caller that gates without a real array."""
+    import types
+
+    return types.SimpleNamespace(ndim=len(shape), shape=tuple(shape))
+
+
+class _MdOnly(NamedTuple):
+    """Minimal displacement-contract carrier for the fused flat frame
+    step (the full SolveResult never leaves the device)."""
+
+    max_abs_displacement: object
+
+
 def pallas_resample_engaged(solver: SolverParams, field) -> bool:
     """Whether the ±K-clamped Pallas resample actually runs for ``field``
     (mirrors the solver's static gate: platform + trailing-extent checks)."""
@@ -189,11 +206,15 @@ def _frame_contract(res, k_used, name: str,
     )
 
 
-def _fetch_stats(res, state: FusionState):
-    """ONE host fetch per frame (every transfer costs the remote-TPU round
-    trip, ~24 ms): the int32 stats (band counts at 512³ overflow f32's 2^24
-    integer range, so they must not round-trip through float) are
-    bitcast into the f32 vector and re-bitcast on the host."""
+def _pack_stats(res, state: FusionState):
+    """Device-side packing for the ONE host fetch per frame (every
+    transfer costs the remote-TPU round trip, ~24 ms): the int32 stats
+    (band counts at 512³ overflow f32's 2^24 integer range, so they must
+    not round-trip through float) and the f32 stats ride one INT32
+    vector — the floats are bitcast into it, never the other way around:
+    small ints bitcast to f32 are denormals, which TPU f32 ops flush to
+    zero inside a fused program (measured: iteration counts arrived as 0
+    when this packed into f32)."""
     ints = jnp.stack(
         [
             res.iterations.astype(jnp.int32),
@@ -202,17 +223,75 @@ def _fetch_stats(res, state: FusionState):
             ).astype(jnp.int32),
         ]
     )
-    packed = jnp.concatenate(
+    floats = jnp.concatenate(
         [
-            jax.lax.bitcast_convert_type(ints, jnp.float32),
             jnp.take(
                 res.telemetry.data_energy, jnp.maximum(res.iterations - 1, 0)
             )[None],
             jnp.asarray(res.max_abs_displacement),
         ]
     )
+    return jnp.concatenate(
+        [ints, jax.lax.bitcast_convert_type(floats, jnp.int32)]
+    )
+
+
+def _unpack_stats(packed):
     host = np.asarray(packed)
-    return host[:2].view(np.int32), host[2:]
+    return host[:2], host[2:].view(np.float32)
+
+
+def _fetch_stats(res, state: FusionState):
+    return _unpack_stats(_pack_stats(res, state))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("solver", "camera", "grid", "nb_width", "method"),
+)
+def _flat_frame_core_from_depth(
+    depth, canonical, weights, init_warp, solver: SolverParams,
+    camera, grid, nb_width: int, method,
+):
+    """TSDF generation + solve + resample + blend + stats-pack as ONE
+    device program: the whole flat fusion frame is a single dispatch
+    round trip (plus the one stats fetch)."""
+    live = generate_tsdf_3d(
+        depth, camera, grid,
+        narrow_band_width_voxels=nb_width, method=method,
+    )
+    state, warp, packed = _flat_frame_body(
+        canonical, weights, live, init_warp, solver
+    )
+    return state, warp, packed
+
+
+@partial(jax.jit, static_argnames=("solver",))
+def _flat_frame_core(
+    canonical, weights, live, init_warp, solver: SolverParams
+):
+    """Solve + resample + blend + stats-pack as ONE device program — one
+    dispatch round trip per frame instead of three (the remote-TPU tunnel
+    costs ~24 ms per dispatch chain; at 128³ the per-frame floor, not the
+    compute, bounds fps — KERNEL_NOTES round 5)."""
+    return _flat_frame_body(canonical, weights, live, init_warp, solver)
+
+
+def _flat_frame_body(canonical, weights, live, init_warp, solver):
+    res = solve_single_level(
+        canonical, live, solver, initial_warp=init_warp
+    )
+    if solver.use_pallas_resample:
+        from levelsetfusion_tpu.ops.pallas.resample import warp_field_fast
+
+        warped = warp_field_fast(
+            live, res.warp, solver.pallas_max_displacement,
+            interpret=solver.pallas_interpret,
+        )
+    else:
+        warped = warp_field(live, res.warp)
+    state = blend(FusionState(canonical=canonical, weights=weights), warped)
+    return state, res.warp, _pack_stats(res, state)
 
 
 def fuse_frame(
@@ -222,11 +301,17 @@ def fuse_frame(
     solver: SolverParams,
     config: FusionPipelineConfig,
     frame_index: int,
+    depth=None,
+    camera=None,
 ):
     """One flat-path fusion frame with the displacement contract enforced:
     solve → resample → blend → stats fetch → (on clamp violation, redo once
     with K raised). Returns ``(state, warp, report, solver)`` — the possibly
     K-raised ``solver`` is what subsequent frames should use.
+
+    When ``depth``/``camera`` are given (and the pipeline is flat), TSDF
+    generation folds into the same device program as the solve — the frame
+    is ONE dispatch + ONE stats fetch; ``live`` may be None then.
 
     Shared by ``fuse_sequence`` and the CLI's checkpoint-resume loop.
     """
@@ -241,32 +326,45 @@ def fuse_frame(
             )
             warp = hres.warp
             res = hres.level_results[-1]
-        else:
-            res = solve_single_level(
-                prev_state.canonical, live, solver, initial_warp=init_warp
-            )
-            warp = res.warp
+            # The blend resample is the Pallas kernel when the fast path
+            # is on (the XLA general gather costs ~192 ms at 128³); same
+            # ±K clamp contract as the solve, verified by the stats below.
+            if solver.use_pallas_resample:
+                from levelsetfusion_tpu.ops.pallas.resample import (
+                    warp_field_fast,
+                )
 
-        # The blend resample is the Pallas kernel when the solver's fast
-        # path is on (the XLA general gather costs ~192 ms at 128³ — it
-        # would dominate the whole frame); same ±K clamp contract as the
-        # solve, which the stats fetched below verify.
-        if solver.use_pallas_resample:
-            from levelsetfusion_tpu.ops.pallas.resample import warp_field_fast
-
-            warped = warp_field_fast(
-                live, warp, solver.pallas_max_displacement,
-                interpret=solver.pallas_interpret,
+                warped = warp_field_fast(
+                    live, warp, solver.pallas_max_displacement,
+                    interpret=solver.pallas_interpret,
+                )
+            else:
+                warped = warp_field(live, warp)
+            state = blend(prev_state, warped)
+            ints, floats = _fetch_stats(res, state)
+        elif depth is not None:
+            # One dispatch: TSDF gen + solve + clamped resample + blend +
+            # stats pack, then the frame's single host fetch.
+            state, warp, packed = _flat_frame_core_from_depth(
+                depth, prev_state.canonical, prev_state.weights, init_warp,
+                solver, camera, config.grid,
+                config.narrow_band_width_voxels, config.generation_method,
             )
+            res = None
+            ints, floats = _unpack_stats(packed)
         else:
-            warped = warp_field(live, warp)
-        state = blend(prev_state, warped)
-        ints, floats = _fetch_stats(res, state)
+            state, warp, packed = _flat_frame_core(
+                prev_state.canonical, prev_state.weights, live, init_warp,
+                solver,
+            )
+            res = None
+            ints, floats = _unpack_stats(packed)
         md = floats[1:]
 
+        field = live if live is not None else field_stub(config.grid.shape)
         k_used = (
             solver.pallas_max_displacement
-            if pallas_resample_engaged(solver, live)
+            if pallas_resample_engaged(solver, field)
             else 0
         )
         new_k = _raised_k(md, k_used) if _k_engaged(k_used) else None
@@ -279,8 +377,9 @@ def fuse_frame(
         )
         solver = solver.replace(pallas_max_displacement=new_k)
 
+    contract_res = res if res is not None else _MdOnly(md)
     violations = _frame_contract(
-        res, k_used, name=f"fusion frame {frame_index}"
+        contract_res, k_used, name=f"fusion frame {frame_index}"
     )
     report = FrameReport(
         frame_index=frame_index,
@@ -617,11 +716,18 @@ def fuse_sequence(
     solver = config.solver
 
     for t, frame in enumerate(frame_iter, start=1):
-        live = gen(frame)
         init_warp = warp if config.warm_start else jnp.zeros_like(warp)
-        state, warp, report, solver = fuse_frame(
-            state, live, init_warp, solver, config, t
-        )
+        if config.hierarchical:
+            state, warp, report, solver = fuse_frame(
+                state, gen(frame), init_warp, solver, config, t
+            )
+        else:
+            # Flat path: the depth image rides into the all-in-one frame
+            # program (gen + solve + resample + blend in one dispatch).
+            state, warp, report, solver = fuse_frame(
+                state, None, init_warp, solver, config, t,
+                depth=jnp.asarray(frame), camera=camera,
+            )
         reports.append(report)
         if frame_callback is not None:
             _call_frame_callback(

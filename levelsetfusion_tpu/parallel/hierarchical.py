@@ -58,11 +58,9 @@ def level_k_used(params, level_shape, live_halo, mesh_counts) -> int | tuple:
     the fusion driver's per-level displacement-contract checks (ADVICE r4:
     passing k_used=0 disabled the clamp check at exactly the fine levels
     the per-shard kernel runs on)."""
-    import types
+    from levelsetfusion_tpu.models.fusion import field_stub
 
-    stub = types.SimpleNamespace(
-        ndim=len(level_shape), shape=tuple(level_shape)
-    )
+    stub = field_stub(level_shape)
     if live_halo is None:
         from levelsetfusion_tpu.ops.pallas.resample import (
             pallas_resample_supported,

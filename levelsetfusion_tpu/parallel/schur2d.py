@@ -138,10 +138,14 @@ def schur2d_fast_paths(params: SolverParams, canonical, live_halo: int,
             pallas_resample_supported,
         )
 
-        kx = k3(params.pallas_max_displacement)[0]
+        kx, ky = k3(params.pallas_max_displacement)[:2]
+        # x side: clamp window + the 2-ghost-row Schur contract + 1
+        # trilinear read. y side: the kernel consumes warped ghost cols 5
+        # deep (the stencil+filter reach into the 8-col window), each
+        # reading up to ky+1 past the block edge.
         use_pallas = (
             params.use_pallas_resample
-            and lh >= kx + 3
+            and lh >= max(kx + 3, ky + 6)
             and (n1 + 2 * lh) % 8 == 0
             and pallas_resample_supported(
                 canonical, params.pallas_interpret

@@ -133,20 +133,16 @@ def block2d_fast_paths(params: SolverParams, canonical, live_halo: int,
     """(use_fused, use_pallas_resample) exactly as
     ``solve_single_level_sharded2d`` gates them (single source of truth for
     fusion's displacement-contract k_used derivation)."""
-    from levelsetfusion_tpu.ops.pallas.resample import k3
-
     n0 = canonical.shape[0] // nd0
     n1 = canonical.shape[1] // nd1
     lh = min(live_halo, n0, n1)
     use_fused = fused_block2d_supported(params, canonical, n0, n1, lh)
-    ghost = params.stencil_halo if use_fused else 2
+    # Round 5: the fused path resamples the INTERIOR only (ghost=0 — the
+    # warped ghost shells arrive from the neighbors' interiors), so the
+    # live halo only has to cover pallas_block2d_supported's clamp window;
+    # the old kk + stencil_halo + 1 requirement applied to the retired
+    # ghost=hx resample.
     use_pallas = pallas_block2d_supported(params, canonical, lh, n1)
-    if use_fused and params.use_pallas_resample:
-        # The fused path needs hx exact resampled ghost rows on both
-        # sharded axes (per-axis clamps: the larger of the x/y clamps
-        # bounds the window).
-        kk = max(k3(params.pallas_max_displacement)[:2])
-        use_pallas = use_pallas and lh >= kk + ghost + 1
     return use_fused, use_pallas
 
 
