@@ -92,3 +92,63 @@ def test_fusion_alignment_beats_naive_averaging():
     err_fused = np.abs(np.asarray(result.state.canonical)[mask] - frame0[mask]).mean()
     err_naive = np.abs(np.asarray(naive.canonical)[mask] - frame0[mask]).mean()
     assert err_fused < err_naive, (err_fused, err_naive)
+
+
+def test_depth_fused_frame_matches_live_path():
+    """The single-dispatch frame program (TSDF gen folded in) produces the
+    same fused state/warp/report as the separate gen + live-path frame."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from levelsetfusion_tpu.core.grid import GridSpec
+    from levelsetfusion_tpu.io import synthetic
+    from levelsetfusion_tpu.models.fusion import (
+        FusionPipelineConfig,
+        fuse_frame,
+        init_state,
+    )
+    from levelsetfusion_tpu.models.params import SolverParams
+    from levelsetfusion_tpu.ops.tsdf import generate_tsdf_3d
+
+    seq = synthetic.snoopy_style_sequence_3d(
+        2, width=24, height=24, blob_radius_px=6.0, blob_height=0.05,
+    )
+    grid = GridSpec(shape=(16, 16, 16), voxel_size=0.008, offset=(-8, -8, 50))
+    cfg = FusionPipelineConfig(
+        grid=grid, hierarchical=False,
+        solver=SolverParams(max_iterations=6, learning_rate=0.5,
+                            smoothing_term_weight=0.1),
+    )
+
+    def gen(d):
+        return generate_tsdf_3d(jnp.asarray(d), seq.camera, grid)
+
+    state0 = init_state(gen(seq.frames[0]))
+    warp0 = jnp.zeros(grid.shape + (3,), jnp.float32)
+
+    s_live, w_live, r_live, _ = fuse_frame(
+        state0, gen(seq.frames[1]), warp0, cfg.solver, cfg, 1
+    )
+    s_depth, w_depth, r_depth, _ = fuse_frame(
+        state0, None, warp0, cfg.solver, cfg, 1,
+        depth=jnp.asarray(seq.frames[1]), camera=seq.camera,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_depth.canonical), np.asarray(s_live.canonical),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_depth), np.asarray(w_live), atol=1e-6
+    )
+    assert r_depth.solver_iterations == r_live.solver_iterations
+    assert r_depth.band_voxels == r_live.band_voxels
+
+
+def test_merge_clamp_ratchet():
+    from levelsetfusion_tpu.cli import _merge_clamp
+
+    assert _merge_clamp(2, 6) == 6
+    assert _merge_clamp(8, 6) == 8  # user raise never downgraded
+    assert _merge_clamp((3, 2, 6), (5, 1, 4)) == (5, 2, 6)
+    assert _merge_clamp(4, (3, 2, 6)) == (4, 4, 6)
+    assert _merge_clamp((3, 2, 6), 4) == (4, 4, 6)
