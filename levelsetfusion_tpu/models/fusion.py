@@ -715,23 +715,117 @@ def fuse_sequence(
     reports: List[FrameReport] = []
     solver = config.solver
 
-    for t, frame in enumerate(frame_iter, start=1):
-        init_warp = warp if config.warm_start else jnp.zeros_like(warp)
-        if config.hierarchical:
+    if config.hierarchical:
+        for t, frame in enumerate(frame_iter, start=1):
+            init_warp = warp if config.warm_start else jnp.zeros_like(warp)
             state, warp, report, solver = fuse_frame(
                 state, gen(frame), init_warp, solver, config, t
             )
-        else:
-            # Flat path: the depth image rides into the all-in-one frame
-            # program (gen + solve + resample + blend in one dispatch).
-            state, warp, report, solver = fuse_frame(
-                state, None, init_warp, solver, config, t,
-                depth=jnp.asarray(frame), camera=camera,
+            reports.append(report)
+            if frame_callback is not None:
+                _call_frame_callback(
+                    frame_callback, t, state, warp, report, solver
+                )
+        return FusionResult(state=state, reports=reports, final_warp=warp)
+
+    # Flat path, PIPELINED: frame t's all-in-one device program (gen +
+    # solve + resample + blend + stats pack) is dispatched from frame
+    # t−1's device outputs BEFORE t−1's packed stats are fetched, so the
+    # one host round trip per frame (~24 ms on the remote tunnel) rides
+    # under the next frame's compute. The rare auto-raise redo discards
+    # the one speculative dispatch and re-issues it from the corrected
+    # state — accuracy is identical to the serial loop (same guarded
+    # semantics; tests assert report parity).
+
+    def _dispatch(prev_state, init_warp, depth):
+        return _flat_frame_core_from_depth(
+            depth, prev_state.canonical, prev_state.weights, init_warp,
+            solver, camera, grid, config.narrow_band_width_voxels,
+            config.generation_method,
+        )
+
+    def _finalize(p):
+        nonlocal solver
+        new_state, new_warp, packed = p["out"]
+        ints, floats = _unpack_stats(packed)
+        md = floats[1:]
+        k_used = (
+            solver.pallas_max_displacement
+            if pallas_resample_engaged(solver, field_stub(grid.shape))
+            else 0
+        )
+        new_k = _raised_k(md, k_used) if _k_engaged(k_used) else None
+        redone = False
+        if new_k is not None and config.auto_raise_displacement:
+            _log.warning(
+                "frame %d: measured max |u| %s exceeds the Pallas clamp "
+                "K=%s — redoing the frame with K=%s",
+                p["t"], np.round(md, 3).tolist(), k_used, new_k,
             )
+            solver = solver.replace(pallas_max_displacement=new_k)
+            new_state, new_warp, packed = _dispatch(
+                p["prev_state"], p["init_warp"], p["depth"]
+            )
+            ints, floats = _unpack_stats(packed)
+            md = floats[1:]
+            k_used = (
+                solver.pallas_max_displacement
+                if pallas_resample_engaged(solver, field_stub(grid.shape))
+                else 0
+            )
+            redone = True
+        violations = _frame_contract(
+            _MdOnly(md), k_used, name=f"fusion frame {p['t']}"
+        )
+        report = FrameReport(
+            frame_index=p["t"],
+            solver_iterations=int(ints[0]),
+            final_data_energy=float(floats[0]),
+            band_voxels=int(ints[1]),
+            max_abs_displacement=tuple(float(v) for v in md),
+            pallas_max_displacement=k_used,
+            contract_violations=tuple(violations),
+        )
+        return new_state, new_warp, report, redone
+
+    def _emit(t, f_state, f_warp, report):
         reports.append(report)
         if frame_callback is not None:
             _call_frame_callback(
-                frame_callback, t, state, warp, report, solver
+                frame_callback, t, f_state, f_warp, report, solver
             )
+
+    pending = None
+    for t, frame in enumerate(frame_iter, start=1):
+        depth = jnp.asarray(frame)
+        init_warp = warp if config.warm_start else jnp.zeros_like(warp)
+        cur = {
+            "t": t, "prev_state": state, "init_warp": init_warp,
+            "depth": depth,
+        }
+        cur["out"] = _dispatch(state, init_warp, depth)
+        # Advance speculatively on the device outputs; the host fetch of
+        # the PREVIOUS frame's stats happens while this frame computes.
+        state, warp = cur["out"][0], cur["out"][1]
+        if pending is not None:
+            f_state, f_warp, report, redone = _finalize(pending)
+            _emit(pending["t"], f_state, f_warp, report)
+            if redone:
+                # The speculative dispatch consumed the pre-redo state:
+                # re-issue this frame from the corrected outputs.
+                cur["prev_state"] = f_state
+                cur["init_warp"] = (
+                    f_warp if config.warm_start
+                    else jnp.zeros_like(f_warp)
+                )
+                cur["out"] = _dispatch(
+                    f_state, cur["init_warp"], depth
+                )
+                state, warp = cur["out"][0], cur["out"][1]
+        pending = cur
+
+    if pending is not None:
+        state, warp, report, _ = _finalize(pending)
+        _emit(pending["t"], state, warp, report)
 
     return FusionResult(state=state, reports=reports, final_warp=warp)
