@@ -146,11 +146,11 @@ def measure_fusion_fps():
         times = []
 
         def cb(t, state, warp):
-            # No extra sync: the frame's packed-stats fetch inside
-            # fuse_frame already blocked on the full frame program (the
-            # stats depend on the blended canonical), so the frame is
-            # provably complete here — an extra scalar fetch would add a
-            # pure ~24 ms tunnel round trip per frame to the measurement.
+            # No extra sync: fuse_sequence's pipelined loop fetches each
+            # frame's packed stats (which depend on the blended canonical)
+            # before invoking this callback, so the frame is provably
+            # complete here — an extra scalar fetch would add a pure
+            # ~24 ms tunnel round trip per frame to the measurement.
             times.append(time.perf_counter())
 
         fuse_sequence(seq.frames, seq.camera, cfg, frame_callback=cb)

@@ -294,6 +294,59 @@ def _flat_frame_body(canonical, weights, live, init_warp, solver):
     return state, res.warp, _pack_stats(res, state)
 
 
+def _finalize_flat_frame(out, dispatch, solver, config, frame_index,
+                         field=None):
+    """Finalize one flat fusion frame: unpack the packed stats, derive the
+    engaged clamp, auto-raise + redo ONCE via ``dispatch(raised_solver)``,
+    run the displacement-contract check, and build the FrameReport.
+    Returns ``(state, warp, report, solver, redone)``.
+
+    THE single implementation of the guarded flat-frame semantics — shared
+    by ``fuse_frame`` (serial + CLI resume) and ``fuse_sequence``'s
+    pipelined loop so the two paths cannot diverge."""
+    state, warp, packed = out
+    ints, floats = _unpack_stats(packed)
+    md = floats[1:]
+    if field is None:
+        field = field_stub(config.grid.shape)
+
+    def _k(s):
+        return (
+            s.pallas_max_displacement
+            if pallas_resample_engaged(s, field)
+            else 0
+        )
+
+    k_used = _k(solver)
+    new_k = _raised_k(md, k_used) if _k_engaged(k_used) else None
+    redone = False
+    if new_k is not None and config.auto_raise_displacement:
+        _log.warning(
+            "frame %d: measured max |u| %s exceeds the Pallas clamp K=%s — "
+            "redoing the frame with K=%s",
+            frame_index, np.round(md, 3).tolist(), k_used, new_k,
+        )
+        solver = solver.replace(pallas_max_displacement=new_k)
+        state, warp, packed = dispatch(solver)
+        ints, floats = _unpack_stats(packed)
+        md = floats[1:]
+        k_used = _k(solver)
+        redone = True
+    violations = _frame_contract(
+        _MdOnly(md), k_used, name=f"fusion frame {frame_index}"
+    )
+    report = FrameReport(
+        frame_index=frame_index,
+        solver_iterations=int(ints[0]),
+        final_data_energy=float(floats[0]),
+        band_voxels=int(ints[1]),
+        max_abs_displacement=tuple(float(v) for v in md),
+        pallas_max_displacement=k_used,
+        contract_violations=tuple(violations),
+    )
+    return state, warp, report, solver, redone
+
+
 def fuse_frame(
     state: FusionState,
     live: jnp.ndarray,
@@ -316,55 +369,60 @@ def fuse_frame(
     Shared by ``fuse_sequence`` and the CLI's checkpoint-resume loop.
     """
     prev_state = state
-    for attempt in (0, 1):
-        if config.hierarchical:
-            hres = solve_hierarchical(
-                prev_state.canonical,
-                live,
-                HierarchicalParams(levels=config.levels, base=solver),
-                initial_warp=init_warp,
-            )
-            warp = hres.warp
-            res = hres.level_results[-1]
-            # The blend resample is the Pallas kernel when the fast path
-            # is on (the XLA general gather costs ~192 ms at 128³); same
-            # ±K clamp contract as the solve, verified by the stats below.
-            if solver.use_pallas_resample:
-                from levelsetfusion_tpu.ops.pallas.resample import (
-                    warp_field_fast,
-                )
-
-                warped = warp_field_fast(
-                    live, warp, solver.pallas_max_displacement,
-                    interpret=solver.pallas_interpret,
-                )
-            else:
-                warped = warp_field(live, warp)
-            state = blend(prev_state, warped)
-            ints, floats = _fetch_stats(res, state)
-        elif depth is not None:
+    if not config.hierarchical:
+        if depth is not None:
             # One dispatch: TSDF gen + solve + clamped resample + blend +
             # stats pack, then the frame's single host fetch.
-            state, warp, packed = _flat_frame_core_from_depth(
-                depth, prev_state.canonical, prev_state.weights, init_warp,
-                solver, camera, config.grid,
-                config.narrow_band_width_voxels, config.generation_method,
-            )
-            res = None
-            ints, floats = _unpack_stats(packed)
+            def dispatch(s):
+                return _flat_frame_core_from_depth(
+                    depth, prev_state.canonical, prev_state.weights,
+                    init_warp, s, camera, config.grid,
+                    config.narrow_band_width_voxels,
+                    config.generation_method,
+                )
         else:
-            state, warp, packed = _flat_frame_core(
-                prev_state.canonical, prev_state.weights, live, init_warp,
-                solver,
+            def dispatch(s):
+                return _flat_frame_core(
+                    prev_state.canonical, prev_state.weights, live,
+                    init_warp, s,
+                )
+
+        state, warp, report, solver, _ = _finalize_flat_frame(
+            dispatch(solver), dispatch, solver, config, frame_index,
+            field=live,
+        )
+        return state, warp, report, solver
+
+    for attempt in (0, 1):
+        hres = solve_hierarchical(
+            prev_state.canonical,
+            live,
+            HierarchicalParams(levels=config.levels, base=solver),
+            initial_warp=init_warp,
+        )
+        warp = hres.warp
+        res = hres.level_results[-1]
+        # The blend resample is the Pallas kernel when the fast path
+        # is on (the XLA general gather costs ~192 ms at 128³); same
+        # ±K clamp contract as the solve, verified by the stats below.
+        if solver.use_pallas_resample:
+            from levelsetfusion_tpu.ops.pallas.resample import (
+                warp_field_fast,
             )
-            res = None
-            ints, floats = _unpack_stats(packed)
+
+            warped = warp_field_fast(
+                live, warp, solver.pallas_max_displacement,
+                interpret=solver.pallas_interpret,
+            )
+        else:
+            warped = warp_field(live, warp)
+        state = blend(prev_state, warped)
+        ints, floats = _fetch_stats(res, state)
         md = floats[1:]
 
-        field = live if live is not None else field_stub(config.grid.shape)
         k_used = (
             solver.pallas_max_displacement
-            if pallas_resample_engaged(solver, field)
+            if pallas_resample_engaged(solver, live)
             else 0
         )
         new_k = _raised_k(md, k_used) if _k_engaged(k_used) else None
@@ -377,9 +435,8 @@ def fuse_frame(
         )
         solver = solver.replace(pallas_max_displacement=new_k)
 
-    contract_res = res if res is not None else _MdOnly(md)
     violations = _frame_contract(
-        contract_res, k_used, name=f"fusion frame {frame_index}"
+        res, k_used, name=f"fusion frame {frame_index}"
     )
     report = FrameReport(
         frame_index=frame_index,
@@ -746,46 +803,20 @@ def fuse_sequence(
 
     def _finalize(p):
         nonlocal solver
-        new_state, new_warp, packed = p["out"]
-        ints, floats = _unpack_stats(packed)
-        md = floats[1:]
-        k_used = (
-            solver.pallas_max_displacement
-            if pallas_resample_engaged(solver, field_stub(grid.shape))
-            else 0
-        )
-        new_k = _raised_k(md, k_used) if _k_engaged(k_used) else None
-        redone = False
-        if new_k is not None and config.auto_raise_displacement:
-            _log.warning(
-                "frame %d: measured max |u| %s exceeds the Pallas clamp "
-                "K=%s — redoing the frame with K=%s",
-                p["t"], np.round(md, 3).tolist(), k_used, new_k,
+
+        def dispatch(s):
+            return _flat_frame_core_from_depth(
+                p["depth"], p["prev_state"].canonical,
+                p["prev_state"].weights, p["init_warp"], s, camera, grid,
+                config.narrow_band_width_voxels, config.generation_method,
             )
-            solver = solver.replace(pallas_max_displacement=new_k)
-            new_state, new_warp, packed = _dispatch(
-                p["prev_state"], p["init_warp"], p["depth"]
+
+        new_state, new_warp, report, new_solver, redone = (
+            _finalize_flat_frame(
+                p["out"], dispatch, solver, config, p["t"]
             )
-            ints, floats = _unpack_stats(packed)
-            md = floats[1:]
-            k_used = (
-                solver.pallas_max_displacement
-                if pallas_resample_engaged(solver, field_stub(grid.shape))
-                else 0
-            )
-            redone = True
-        violations = _frame_contract(
-            _MdOnly(md), k_used, name=f"fusion frame {p['t']}"
         )
-        report = FrameReport(
-            frame_index=p["t"],
-            solver_iterations=int(ints[0]),
-            final_data_energy=float(floats[0]),
-            band_voxels=int(ints[1]),
-            max_abs_displacement=tuple(float(v) for v in md),
-            pallas_max_displacement=k_used,
-            contract_violations=tuple(violations),
-        )
+        solver = new_solver
         return new_state, new_warp, report, redone
 
     def _emit(t, f_state, f_warp, report):

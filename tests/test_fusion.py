@@ -121,7 +121,11 @@ def test_depth_fused_frame_matches_live_path():
     )
 
     def gen(d):
-        return generate_tsdf_3d(jnp.asarray(d), seq.camera, grid)
+        return generate_tsdf_3d(
+            jnp.asarray(d), seq.camera, grid,
+            narrow_band_width_voxels=cfg.narrow_band_width_voxels,
+            method=cfg.generation_method,
+        )
 
     state0 = init_state(gen(seq.frames[0]))
     warp0 = jnp.zeros(grid.shape + (3,), jnp.float32)
