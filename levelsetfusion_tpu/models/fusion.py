@@ -752,7 +752,16 @@ def fuse_sequence(
     under device compute). Frames are consumed strictly in order, once.
 
     ``frame_callback(t, state, warp)`` is invoked after each frame for
-    telemetry/visualization/checkpointing hooks.
+    telemetry/visualization/checkpointing hooks; callbacks that accept
+    ``report``/``solver`` keywords also receive the frame's FrameReport
+    and the (possibly clamp-raised) solver (see ``_call_frame_callback``).
+
+    The flat path runs PIPELINED (frame t dispatches before frame t−1's
+    stats fetch — see the loop below); the hierarchical path is serial.
+    The sharded driver (``fuse_sequence_sharded``) is not pipelined: its
+    blend halo is sized from the frame's fetched measured |u|, so the
+    fetch is load-bearing there (speculating with the previous halo is
+    possible future work).
     """
     grid = config.grid
 
