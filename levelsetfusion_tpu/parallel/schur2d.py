@@ -294,7 +294,10 @@ def solve_single_level_schur2d(
                 stacked, flags, xe = prepared
                 hd = live_halo - 8
                 wk = jnp.pad(
-                    w_ext_cm, ((0, 0), (0, xe - m0), (hd, hd), (0, 0))
+                    w_ext_cm,
+                    ((0, 0), (0, xe - m0),
+                     (hd, stacked.shape[2] - w_ext_cm.shape[2] - hd),
+                     (0, 0)),
                 )
                 out = warp_field_pallas_prepared(
                     stacked, wk, k_full,
@@ -389,7 +392,9 @@ def solve_single_level_schur2d(
                 warp_cm = jnp.moveaxis(warp_ext, -1, 0)
                 warp_cm = jnp.pad(
                     warp_cm,
-                    ((0, 0), (0, xe - (n0 + 4)), (hd, hd), (0, 0)),
+                    ((0, 0), (0, xe - (n0 + 4)),
+                     (hd, stacked.shape[2] - warp_cm.shape[2] - hd),
+                     (0, 0)),
                 )
                 we_full = warp_field_pallas_prepared(
                     stacked,

@@ -131,9 +131,9 @@ def _block_gradient(
         kx = k3(k_full)[0]
         # (prepare_field result, skip flags or None, kernel output x extent)
         stacked, flags, xe = prepared_live
-        warp_k = jnp.pad(
-            warp_ext, ((0, xe - m),) + ((0, 0),) * (warp_ext.ndim - 1)
-        )
+        pads = [(0, xe - m)] + [(0, 0)] * (warp_ext.ndim - 1)
+        pads[1] = (0, stacked.shape[2] - warp_ext.shape[1])
+        warp_k = jnp.pad(warp_ext, pads)
         out = warp_field_pallas_prepared(
             stacked,
             warp_k,
@@ -143,7 +143,7 @@ def _block_gradient(
             skip_flags=flags,
             x_start=kx,  # output row j samples field row j + Kx + ux
         )
-        warped_ext = out[:m]
+        warped_ext = out[:m, : warp_ext.shape[1]]
     else:
         shape_ext = (m,) + canon_blk.shape[1:]
         pos0 = (
@@ -424,9 +424,25 @@ def prepare_block_resample(live_ext, params: SolverParams, live_halo: int,
     field_x = lax.dynamic_slice_in_dim(
         live_ext, live_halo - ghost - kk, xe_raw, axis=0
     )
+    # Pad the y extent up to a 64/32-multiple when the waste is small:
+    # the resample kernel's y_block falls from 64 to 8 on non-aligned
+    # extents (pick_y_block), which measured +91% per-iteration cost on
+    # the 2D-mesh solvers whose two-axis live halo makes y = n1 + 2·lh
+    # (e.g. 528 → pad 48 cols, 9% extra compute, y_block 64). Trailing
+    # fill columns resample to garbage and are cropped by every caller;
+    # small extents where alignment would cost >25% extra stay unpadded.
+    y_have = field_x.shape[1]
+    y_pad = 0
+    for align in (64, 32):
+        p = (-y_have) % align
+        if p == 0:
+            break
+        if p <= y_have // 4:
+            y_pad = p
+            break
     field_x = jnp.pad(
         field_x,
-        ((0, pallas_field_ext - xe_raw), (0, 0), (0, 0)),
+        ((0, pallas_field_ext - xe_raw), (0, y_pad), (0, 0)),
         constant_values=TRUNCATION_FILL,
     )
     k_full = params.pallas_max_displacement
@@ -465,7 +481,9 @@ def resample_block_ext_cm(
         kx = k3(k_full)[0]
         stacked, flags, xe = prepared
         warp_k = jnp.pad(
-            warp_ext_cm, ((0, 0), (0, xe - m), (0, 0), (0, 0))
+            warp_ext_cm,
+            ((0, 0), (0, xe - m),
+             (0, stacked.shape[2] - warp_ext_cm.shape[2]), (0, 0)),
         )
         return warp_field_pallas_prepared(
             stacked,
@@ -476,7 +494,7 @@ def resample_block_ext_cm(
             skip_flags=flags,
             x_start=kx,
             component_major=True,
-        )[:m]
+        )[:m, : warp_ext_cm.shape[2]]
     warp_ext = jnp.moveaxis(warp_ext_cm, 0, -1)
     d = warp_ext.shape[-1]
     shape_ext = (m,) + warp_ext.shape[1:-1]

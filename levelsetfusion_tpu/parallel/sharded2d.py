@@ -262,7 +262,8 @@ def solve_single_level_sharded2d(
             warp_cm = jnp.moveaxis(warp_ext, -1, 0)
             warp_cm = jnp.pad(
                 warp_cm,
-                ((0, 0), (0, xe - (n0 + 4)), (hd, hd), (0, 0)),
+                ((0, 0), (0, xe - (n0 + 4)),
+                 (hd, stacked.shape[2] - warp_cm.shape[2] - hd), (0, 0)),
             )
             we_full = warp_field_pallas_prepared(
                 stacked,
@@ -487,7 +488,9 @@ def solve_single_level_sharded2d(
                 stacked, flags, xe = prepared
                 hd = live_halo
                 wk = jnp.pad(
-                    w_cm, ((0, 0), (0, xe - n0), (hd, hd), (0, 0))
+                    w_cm,
+                    ((0, 0), (0, xe - n0),
+                     (hd, stacked.shape[2] - w_cm.shape[2] - hd), (0, 0)),
                 )
                 out = warp_field_pallas_prepared(
                     stacked, wk, k_full,
@@ -759,7 +762,9 @@ def warp_field_sharded2d(
             stacked, flags, xe = prepared
             w_cm = jnp.moveaxis(warp_blk, -1, 0)
             wk = jnp.pad(
-                w_cm, ((0, 0), (0, xe - n0), (lh, lh), (0, 0))
+                w_cm,
+                ((0, 0), (0, xe - n0),
+                 (lh, stacked.shape[2] - w_cm.shape[2] - lh), (0, 0)),
             )
             out = warp_field_pallas_prepared(
                 stacked, wk, k_full,
